@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-device CPU mesh so sharding tests run anywhere.
+
+The image's axon sitecustomize registers a remote-TPU backend and overrides
+``JAX_PLATFORMS``, so we must force the CPU platform through ``jax.config``
+(env vars alone are ignored). The 8 virtual CPU devices exercise pjit/shard_map
+paths without a pod — the multi-host test strategy SURVEY.md §4 recommends.
+Real-TPU tests are opt-in via ``-m tpu`` (see pyproject markers).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+if os.environ.get("MACVO_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

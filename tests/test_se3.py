@@ -1,0 +1,77 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from macvo_tpu.geometry import se3
+
+
+def random_pose(rng, n=()):
+    q = Rotation.random(int(np.prod(n)) if n else 1, random_state=rng).as_quat()
+    t = rng.normal(size=(q.shape[0], 3))
+    pose = np.concatenate([t, q], axis=-1).astype(np.float32)
+    return jnp.asarray(pose.reshape(*n, 7) if n else pose[0])
+
+
+def test_identity_roundtrip():
+    eye = se3.identity()
+    assert eye.shape == (7,)
+    np.testing.assert_allclose(se3.log(eye), np.zeros(6), atol=1e-6)
+
+
+def test_exp_log_roundtrip(rng):
+    twist = jnp.asarray(rng.normal(scale=0.5, size=(32, 6)).astype(np.float32))
+    pose = se3.exp(twist)
+    np.testing.assert_allclose(se3.log(pose), twist, atol=1e-4)
+
+
+def test_mul_inv(rng):
+    a, b = random_pose(rng, (16,)), random_pose(rng, (16,))
+    ab = se3.mul(a, b)
+    recovered = se3.mul(ab, se3.inv(b))
+    np.testing.assert_allclose(se3.translation(recovered), se3.translation(a), atol=1e-4)
+    qa, qr = se3.quaternion(a), se3.quaternion(recovered)
+    dot = np.abs(np.sum(np.asarray(qa) * np.asarray(qr), axis=-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-4)
+
+
+def test_act_matches_matrix(rng):
+    pose = random_pose(rng, (8,))
+    pts = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+    via_quat = se3.act(pose, pts)
+    M = se3.matrix(pose)
+    via_mat = jnp.einsum("nij,nj->ni", M[:, :3, :3], pts) + M[:, :3, 3]
+    np.testing.assert_allclose(via_quat, via_mat, atol=1e-5)
+
+
+def test_matrix_roundtrip(rng):
+    pose = random_pose(rng, (64,))
+    back = se3.from_matrix(se3.matrix(pose))
+    q0, q1 = np.asarray(se3.quaternion(pose)), np.asarray(se3.quaternion(back))
+    dot = np.abs(np.sum(q0 * q1, axis=-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+    np.testing.assert_allclose(se3.translation(back), se3.translation(pose), atol=1e-5)
+
+
+def test_rotation_against_scipy(rng):
+    pose = random_pose(rng, (16,))
+    pts = rng.normal(size=(16, 3)).astype(np.float32)
+    ours = se3.act(pose, jnp.asarray(pts))
+    R = Rotation.from_quat(np.asarray(se3.quaternion(pose)))
+    expected = R.apply(pts) + np.asarray(se3.translation(pose))
+    np.testing.assert_allclose(ours, expected, atol=1e-5)
+
+
+def test_jit_and_vmap(rng):
+    pose = random_pose(rng, (8,))
+    jitted = jax.jit(se3.log)
+    np.testing.assert_allclose(jitted(pose), se3.log(pose), atol=1e-6)
+    vm = jax.vmap(se3.inv)(pose)
+    np.testing.assert_allclose(vm, se3.inv(pose), atol=1e-6)
+
+
+def test_small_angle_stability():
+    tiny = jnp.asarray(np.full((4, 6), 1e-9, dtype=np.float32))
+    pose = se3.exp(tiny)
+    assert bool(jnp.all(jnp.isfinite(pose)))
+    np.testing.assert_allclose(se3.log(pose), tiny, atol=1e-6)
