@@ -26,8 +26,13 @@ class Registered:
 
     def __init_subclass__(cls, register: bool = True, **kwargs: Any) -> None:
         super().__init_subclass__(**kwargs)
-        # Each direct child of Registered roots a fresh registry namespace.
-        if Registered in cls.__bases__:
+        # Each direct child of a root mixin (Registered / RegisteredConfigTestable)
+        # opens a fresh registry namespace; deeper subclasses join their parent's.
+        roots = {Registered}
+        rct = globals().get("RegisteredConfigTestable")
+        if rct is not None:
+            roots.add(rct)
+        if roots & set(cls.__bases__):
             cls._registry = {}
         if register and hasattr(cls, "_registry"):
             cls._registry[cls.__name__] = cls
