@@ -79,6 +79,10 @@ def cumulative_motions(init_pose: jnp.ndarray, motions: jnp.ndarray) -> jnp.ndar
     """
     import jax
 
+    dtype = jnp.promote_types(init_pose.dtype, motions.dtype)
+    init_pose = init_pose.astype(dtype)
+    motions = motions.astype(dtype)
+
     def step(pose, motion):
         nxt = se3.normalize(se3.mul(pose, motion))
         return nxt, nxt

@@ -18,6 +18,19 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _safe_norm(v: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:
+    """Norm with a smooth, NaN-free gradient at v = 0.
+
+    ``jnp.linalg.norm`` has d|v|/dv = v/|v| which is NaN at the origin and
+    poisons autodiff through ``jnp.where`` small-angle guards. Adding a tiny
+    constant under the sqrt gives gradient 0 at the origin with O(1e-24)
+    value error — required for jax.jacfwd/jacrev through exp/log (used by the
+    solver Jacobian cross-checks and any learned module differentiating
+    through poses)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=keepdims)
+    return jnp.sqrt(sq + 1e-24)
+
+
 def identity(batch_shape: tuple[int, ...] = (), dtype=jnp.float32) -> jnp.ndarray:
     pose = jnp.zeros(batch_shape + (7,), dtype=dtype)
     return pose.at[..., 6].set(1.0)
@@ -56,7 +69,7 @@ def quat_conj(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def quat_normalize(q: jnp.ndarray) -> jnp.ndarray:
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    return q / jnp.maximum(_safe_norm(q, keepdims=True), _EPS)
 
 
 def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -122,7 +135,7 @@ def quat_from_matrix(m: jnp.ndarray) -> jnp.ndarray:
 
 def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """Rotation vector (...,3) -> quaternion."""
-    angle = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    angle = _safe_norm(phi, keepdims=True)
     half = 0.5 * angle
     small = angle < 1e-6
     # sin(half)/angle with Taylor fallback 0.5 - angle^2/48
@@ -139,7 +152,7 @@ def so3_log(q: jnp.ndarray) -> jnp.ndarray:
     q = jnp.where(q[..., 3:4] < 0, -q, q)
     qv = q[..., :3]
     qw = q[..., 3]
-    sin_half = jnp.linalg.norm(qv, axis=-1)
+    sin_half = _safe_norm(qv)
     half = jnp.arctan2(sin_half, qw)
     small = sin_half < 1e-6
     k = jnp.where(small, 2.0 / jnp.maximum(qw, _EPS), 2.0 * half / jnp.maximum(sin_half, _EPS))
@@ -161,7 +174,7 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
 
 def _left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
     """SO(3) left Jacobian J_l(phi), (...,3,3)."""
-    angle = jnp.linalg.norm(phi, axis=-1)
+    angle = _safe_norm(phi)
     small = angle < 1e-6
     a = jnp.maximum(angle, _EPS)
     K = skew(phi / a[..., None])
@@ -174,7 +187,7 @@ def _left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def _left_jacobian_inv(phi: jnp.ndarray) -> jnp.ndarray:
-    angle = jnp.linalg.norm(phi, axis=-1)
+    angle = _safe_norm(phi)
     small = angle < 1e-6
     a = jnp.maximum(angle, _EPS)
     K = skew(phi)

@@ -1,0 +1,329 @@
+"""MAC-VO orchestrator (reference: Odometry/MACVO.py:24-384).
+
+Per-keyframe pipeline: frontend (joint depth+flow+cov) -> backend writeback ->
+motion prediction -> fixed-K masked keypoint selection -> per-keypoint gathers
+-> 2D->3D covariance projection -> outlier masks -> ONE host sync to compact
+and register the factor graph -> async dispatch of the two-frame LM solve.
+
+TPU-first shape discipline: every per-keypoint stage carries ``(K,)`` arrays
+plus a validity mask (K = num_point, static), so the device pipeline never
+recompiles and syncs exactly once per frame (the map push). The backend solve
+is dispatched asynchronously and consumed one frame later — the same
+one-frame-latency pipelining the reference builds with a child process
+(Module/Optimization/Interface.py:80-96), for free via XLA async dispatch.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend.interface import IOptimizer
+from ..data.frame import StereoFrame
+from ..geometry import camera, se3
+from ..modules.covariance import ICovariance2to3
+from ..modules.frontend import DepthOutput, IFrontend, retrieve_pixels
+from ..modules.keyframe import IKeyframeSelector
+from ..modules.keypoint import IKeypointSelector
+from ..modules.map_processor import IMapProcessor
+from ..modules.motion import IMotionModel
+from ..modules.outlier import IObservationFilter
+from ..utils import timer
+from ..utils.logging import Logger
+from ..utils.registry import ConfigTestable
+from ..worldmap import VisualMap
+from .interface import IOdometry
+
+MIN_NUM_POINT = 10  # lost-track threshold (reference: Odometry/MACVO.py:64)
+
+
+class MACVO(IOdometry[StereoFrame], ConfigTestable):
+    T_SYSHOOK = Callable[["MACVO"], None]
+
+    def __init__(
+        self,
+        num_point: int,
+        edgewidth: int,
+        match_cov_default: float,
+        profile: bool,
+        mapping: bool,
+        frontend: IFrontend,
+        motion_model: IMotionModel,
+        kp_selector: IKeypointSelector,
+        map_selector: IKeypointSelector,
+        obs_filter: IObservationFilter,
+        obs_covmodel: ICovariance2to3,
+        post_process: IMapProcessor,
+        kf_selector: IKeyframeSelector,
+        optimizer: IOptimizer,
+        num_map_point: int = 2000,
+        **_excessive_args,
+    ) -> None:
+        super().__init__(profile=profile)
+        if _excessive_args:
+            Logger.warning(f"MACVO: ignoring excessive config args {sorted(_excessive_args)}")
+
+        self.graph = VisualMap()
+        self.mapping = mapping
+        self.match_cov_default = match_cov_default
+        self.num_point = num_point
+        self.num_map_point = num_map_point
+        self.edge_width = edgewidth
+
+        self.Frontend = frontend
+        self.MotionEstimator = motion_model
+        self.KeypointSelector = kp_selector
+        self.MappointSelector = map_selector
+        self.OutlierFilter = obs_filter
+        self.ObsCovModel = obs_covmodel
+        self.MapRefiner = post_process
+        self.KeyframeSelector = kf_selector
+        self.Optimizer = optimizer
+
+        self.is_initiated = False
+        # (frame, map frame index, depth output) of the previous keyframe
+        self.prev_keyframe: Optional[tuple[StereoFrame, int, DepthOutput]] = None
+        self.on_optimize_writeback: list[MACVO.T_SYSHOOK] = []
+
+    # -- config ---------------------------------------------------------------
+    @classmethod
+    def from_config(cls, cfg: SimpleNamespace) -> "MACVO":
+        odomcfg = cfg.Odometry
+        return cls(
+            frontend=IFrontend.instantiate(odomcfg.frontend.type, odomcfg.frontend.args),
+            motion_model=IMotionModel.instantiate(odomcfg.motion.type, odomcfg.motion.args),
+            kp_selector=IKeypointSelector.instantiate(odomcfg.keypoint.type, odomcfg.keypoint.args),
+            map_selector=IKeypointSelector.instantiate(odomcfg.mappoint.type, odomcfg.mappoint.args),
+            obs_filter=IObservationFilter.instantiate(odomcfg.outlier.type, odomcfg.outlier.args),
+            obs_covmodel=ICovariance2to3.instantiate(odomcfg.cov.obs.type, odomcfg.cov.obs.args),
+            post_process=IMapProcessor.instantiate(odomcfg.postprocess.type, odomcfg.postprocess.args),
+            kf_selector=IKeyframeSelector.instantiate(odomcfg.keyframe.type, odomcfg.keyframe.args),
+            optimizer=IOptimizer.instantiate(odomcfg.optimizer.type, odomcfg.optimizer.args),
+            **vars(odomcfg.args),
+        )
+
+    @classmethod
+    def is_valid_config(cls, config: SimpleNamespace) -> None:
+        assert config is not None
+        IKeyframeSelector.is_valid_config(config.keyframe)
+        IMapProcessor.is_valid_config(config.postprocess)
+        IObservationFilter.is_valid_config(config.outlier)
+        IMotionModel.is_valid_config(config.motion)
+        IKeypointSelector.is_valid_config(config.keypoint)
+        IKeypointSelector.is_valid_config(config.mappoint)
+        ICovariance2to3.is_valid_config(config.cov.obs)
+        IFrontend.is_valid_config(config.frontend)
+        IOptimizer.is_valid_config(config.optimizer)
+        cls._enforce_config_spec(config.args, {
+            "num_point": lambda b: isinstance(b, int) and b > 0,
+            "edgewidth": lambda b: isinstance(b, int) and b > 0,
+            "match_cov_default": lambda b: isinstance(b, (int, float)) and b > 0.0,
+            "profile": lambda b: isinstance(b, bool),
+            "mapping": lambda b: isinstance(b, bool),
+        })
+
+    # -- pipeline -------------------------------------------------------------
+    def initialize(self, frame0: StereoFrame) -> None:
+        """First frame: depth only, identity-ish pose (reference: MACVO.py:158-170)."""
+        depth0 = self.Frontend.estimate_depth(frame0.stereo)
+        est_pose = self.MotionEstimator.predict(frame0, None, depth0.depth)
+        frame_idx = self.push_keyframe(frame0, est_pose)
+        self.OutlierFilter.set_meta(frame0.stereo)
+        self.prev_keyframe = (frame0, frame_idx, depth0)
+
+    def push_keyframe(self, frame: StereoFrame, est_pose, need_interp: bool = False) -> int:
+        idx = self.graph.frames.push({
+            "pose": np.asarray(est_pose, dtype=np.float32).reshape(1, 7),
+            "T_BS": np.asarray(frame.stereo.T_BS, dtype=np.float32).reshape(1, 7),
+            "need_interp": np.array([need_interp]),
+            "time_ns": np.asarray(frame.stereo.time_ns).reshape(1)[:1].astype(np.int64),
+            "K": np.asarray(frame.stereo.K, dtype=np.float32).reshape(1, 3, 3),
+            "baseline": np.asarray(frame.stereo.baseline, dtype=np.float32).reshape(1)[:1],
+        })
+        return int(idx[0])
+
+    def run(self, frame: StereoFrame) -> None:
+        with timer.cpu_time("Odom_Runtime"):
+            if not self.is_initiated:
+                self.initialize(frame)
+                self.is_initiated = True
+                return
+            assert self.prev_keyframe is not None
+            self.run_pair(self.prev_keyframe[0], frame)
+
+    def run_pair(self, frame0: StereoFrame, frame1: StereoFrame) -> None:
+        assert self.prev_keyframe is not None
+        prev_frame, prev_idx, depth0 = self.prev_keyframe
+
+        # Non-keyframes inherit the previous pose and get marked for terminal
+        # interpolation (reference: MACVO.py:176-179).
+        if not self.KeyframeSelector.is_keyframe(frame1):
+            self.push_keyframe(
+                frame1, self.graph.frames.data["pose"][prev_idx], need_interp=True
+            )
+            return
+
+        with timer.cpu_time("Frontend.estimate"):
+            depth1, match01 = self.Frontend.estimate_pair(frame0.stereo, frame1.stereo)
+
+        # Consume the previous frame's optimization BEFORE registering new
+        # points on it (reference: MACVO.py:185-190).
+        self.Optimizer.write_map(self.graph)
+        for hook in self.on_optimize_writeback:
+            hook(self)
+
+        prev_pose = jnp.asarray(self.graph.frames.data["pose"][prev_idx])
+        self.MotionEstimator.update(prev_pose)
+        est_pose = self.MotionEstimator.predict(frame1, match01.flow, depth1.depth)
+
+        # Fixed-K keypoint pipeline (all device, masked) ----------------------
+        with timer.cpu_time("KPSelector.select"):
+            kp0_uv, valid = self.KeypointSelector.select_point(
+                frame0.stereo, self.num_point, depth0, depth1, match01
+            )
+        kp0_f = kp0_uv.astype(jnp.float32)
+        kp1_f = kp0_f + retrieve_pixels(kp0_uv, match01.flow)
+        valid = valid & camera.in_bounds(
+            kp1_f, frame1.stereo.width, frame1.stereo.height, margin=self.edge_width
+        )
+
+        kp0_d = retrieve_pixels(kp0_uv, depth0.depth)[:, 0]
+        kp0_disp = retrieve_pixels(kp0_uv, depth0.disparity)
+        kp0_sigma_disp = retrieve_pixels(kp0_uv, depth0.disparity_uncertainty)
+        kp0_sigma_dd = retrieve_pixels(kp0_uv, depth0.cov)
+        kp1_d = retrieve_pixels(kp1_f, depth1.depth)[:, 0]
+        kp1_disp = retrieve_pixels(kp1_f, depth1.disparity)
+        kp1_sigma_disp = retrieve_pixels(kp1_f, depth1.disparity_uncertainty)
+        kp1_sigma_dd = retrieve_pixels(kp1_f, depth1.cov)
+
+        n_kp = kp0_uv.shape[0]
+        # kp0 was *selected*, not matched: its uv uncertainty is the pixel
+        # quantization default (reference: MACVO.py:226-231).
+        kp0_sigma_uv = jnp.full((n_kp, 3), self.match_cov_default, dtype=jnp.float32)
+        kp0_sigma_uv = kp0_sigma_uv.at[:, 2].set(0.0)
+        kp1_sigma_uv = retrieve_pixels(kp0_uv, match01.cov)
+
+        kp0_color = (retrieve_pixels(kp0_uv, frame0.stereo.imageL) * 255.0).astype(jnp.uint8)
+
+        with timer.cpu_time("Cov Model"):
+            pos0_Tc = camera.pixel_to_point_ned(kp0_f, kp0_d, jnp.asarray(frame0.stereo.K[0]))
+            pos0_covTc = self.ObsCovModel.estimate(
+                frame0.stereo, kp0_f, depth0,
+                kp0_sigma_dd[:, 0] if kp0_sigma_dd is not None else None,
+                kp0_sigma_uv,
+            )
+            pos1_covTc = self.ObsCovModel.estimate(
+                frame1.stereo, kp1_f, depth1,
+                kp1_sigma_dd[:, 0] if kp1_sigma_dd is not None else None,
+                kp1_sigma_uv,
+            )
+
+        def or_fill(x, width: int):
+            if x is not None:
+                return x
+            return jnp.full((n_kp, width), -1.0, dtype=jnp.float32)
+
+        obs = {
+            "pixel1_uv": kp0_f,
+            "pixel2_uv": kp1_f,
+            "pixel1_d": kp0_d[:, None],
+            "pixel2_d": kp1_d[:, None],
+            "pixel1_disp": or_fill(kp0_disp, 1),
+            "pixel2_disp": or_fill(kp1_disp, 1),
+            "pixel1_disp_cov": or_fill(kp0_sigma_disp, 1),
+            "pixel2_disp_cov": or_fill(kp1_sigma_disp, 1),
+            "pixel1_uv_cov": kp0_sigma_uv,
+            "pixel2_uv_cov": or_fill(kp1_sigma_uv, 3),
+            "pixel1_d_cov": or_fill(kp0_sigma_dd, 1),
+            "pixel2_d_cov": or_fill(kp1_sigma_dd, 1),
+            "obs1_covTc": pos0_covTc,
+            "obs2_covTc": pos1_covTc,
+        }
+        assert self.OutlierFilter.verify_shape(obs)
+        keep = valid & self.OutlierFilter.filter(obs)
+
+        # World-frame landmark registration under the previous pose
+        # (reference: MACVO.py:273-283).
+        prev_rot = se3.rotmat(prev_pose).astype(jnp.float64)
+        pos0_Tw = se3.act(prev_pose, pos0_Tc)
+        cov0_Tw = jnp.einsum("ij,njk,lk->nil", prev_rot, pos0_covTc, prev_rot)
+
+        # -- THE host sync: compact masked arrays and register the graph ------
+        keep_np = np.asarray(keep)
+        obs_np = {k: np.asarray(v)[keep_np] for k, v in obs.items()}
+        n_obs = int(keep_np.sum())
+
+        point_idx = self.graph.points.push({
+            "pos_Tw": np.asarray(pos0_Tw)[keep_np],
+            "cov_Tw": np.asarray(cov0_Tw)[keep_np],
+            "color": np.asarray(kp0_color)[keep_np],
+        })
+        num_match_orig = len(self.graph.match)
+        frame_idx = self.push_keyframe(frame1, np.asarray(est_pose))
+        match_idx = self.graph.match.push(obs_np)
+
+        self.graph.point2match.add(point_idx, match_idx)
+        self.graph.match2point.set(match_idx, point_idx)
+        self.graph.frame2match.add(np.array([prev_idx]), np.array([num_match_orig]), np.array([n_obs]))
+        self.graph.frame2match.add(np.array([frame_idx]), np.array([num_match_orig]), np.array([n_obs]))
+        self.graph.match2frame1.set(match_idx, np.full((n_obs,), prev_idx, dtype=np.int64))
+        self.graph.match2frame2.set(match_idx, np.full((n_obs,), frame_idx, dtype=np.int64))
+
+        self.prev_keyframe = (frame1, frame_idx, depth1)
+
+        # Launch (async) optimization or mark lost track (reference: MACVO.py:300-311).
+        if n_obs < MIN_NUM_POINT:
+            Logger.warning(f"VOLostTrack @ {frame1.frame_idx} - only {n_obs} observations")
+            self.graph.frames.data["need_interp"][frame_idx] = True
+            return
+        self.Optimizer.start_optimize(self.Optimizer.get_graph_data(self.graph, frame_idx))
+
+        # Dense mapping points (reference: MACVO.py:313-337).
+        if self.mapping:
+            self._push_mapping_points(frame0, frame_idx, depth0, depth1, match01, prev_pose, prev_rot)
+
+    def _push_mapping_points(self, frame0, frame_idx, depth0, depth1, match01, prev_pose, prev_rot):
+        map_uv, map_valid = self.MappointSelector.select_point(
+            frame0.stereo, self.num_map_point, depth0, depth1, match01
+        )
+        map_f = map_uv.astype(jnp.float32)
+        map_d = retrieve_pixels(map_uv, depth0.depth)[:, 0]
+        map_Tc = camera.pixel_to_point_ned(map_f, map_d, jnp.asarray(frame0.stereo.K[0]))
+        map_sigma_dd = retrieve_pixels(map_uv, depth0.cov)
+        n = map_uv.shape[0]
+        map_sigma_uv = jnp.full((n, 3), self.match_cov_default, dtype=jnp.float32)
+        map_sigma_uv = map_sigma_uv.at[:, 2].set(0.0)
+        map_cov_Tc = self.ObsCovModel.estimate(
+            frame0.stereo, map_f, depth0,
+            map_sigma_dd[:, 0] if map_sigma_dd is not None else None, map_sigma_uv,
+        )
+        map_color = (retrieve_pixels(map_uv, frame0.stereo.imageL) * 255.0).astype(jnp.uint8)
+        map_Tw = se3.act(prev_pose, map_Tc)
+
+        valid_np = np.asarray(map_valid)
+        num_map_orig = len(self.graph.map_points)
+        self.graph.map_points.push({
+            "pos_Tw": np.asarray(map_Tw)[valid_np],
+            "cov_Tw": np.asarray(map_cov_Tc)[valid_np],
+            "color": np.asarray(map_color)[valid_np],
+        })
+        self.graph.frame2map.add(
+            np.array([frame_idx]), np.array([num_map_orig]), np.array([int(valid_np.sum())])
+        )
+
+    # -- lifecycle ------------------------------------------------------------
+    def get_map(self) -> VisualMap:
+        return self.graph
+
+    def terminate(self) -> None:
+        super().terminate()
+        if self.prev_keyframe is not None:
+            self.Optimizer.write_map(self.graph)
+        self.Optimizer.terminate()
+        self.MapRefiner.elaborate_map(self.graph.frames)
+
+    def register_on_optimize_finish(self, func: T_SYSHOOK) -> None:
+        self.on_optimize_writeback.append(func)

@@ -1,0 +1,5 @@
+"""Jitted compute primitives (selection, covariance projection, kernels)."""
+
+from . import cov_project, select
+
+__all__ = ["cov_project", "select"]

@@ -1,0 +1,147 @@
+"""End-to-end metric regression on the synthetic oracle sequence.
+
+Mirrors the reference's pinned E2E test (Scripts/UnitTest/
+test_performance_macvo.py:11-34: ATE <= 0.002 m, RTE <= 0.0025 m/frame,
+ROE <= 0.045 deg/frame on a 10-frame sequence) — here against the exact-GT
+synthetic scene, driving the full pipeline: frontend -> selection -> covariance
+-> filtering -> map registration -> async LM backend -> terminal processing.
+"""
+
+import numpy as np
+import pytest
+
+from macvo_tpu.data.datasets.synthetic import SyntheticStereo
+from macvo_tpu.evaluation import evaluate_all, evaluate_sandbox
+from macvo_tpu.odometry import MACVO
+from macvo_tpu.utils.config import build_dynamic_config
+from macvo_tpu.utils.sandbox import Sandbox
+
+ATE_BOUND = 0.002    # m        (reference: test_performance_macvo.py:11-14)
+RTE_BOUND = 0.0025   # m/frame
+ROE_BOUND = 0.045    # deg/frame
+
+
+def make_config(motion="GTMotionwithNoise", graph_type="icp", optimizer="Local_TwoFrame_PGO",
+                keyframe=None, mapping=False):
+    cfg = {
+        "Odometry": {
+            "args": {"num_point": 200, "edgewidth": 20, "match_cov_default": 0.25,
+                     "profile": False, "mapping": mapping},
+            "frontend": {"type": "FrontendCompose", "args": {
+                "depth": {"type": "GTDepth", "args": {}},
+                "match": {"type": "GTMatcher", "args": {}}}},
+            "motion": {"type": motion, "args": {"noise_std": 0.0} if motion == "GTMotionwithNoise" else {}},
+            "keypoint": {"type": "RandomSelector", "args": {"mask_width": 32}},
+            # RandomSelector for mapping: the GT frontend provides no depth
+            # cov, which MappingPointSelector requires (as in the reference).
+            "mappoint": {"type": "RandomSelector", "args": {"mask_width": 32}},
+            "outlier": {"type": "FilterCompose", "args": {"filter_args": [
+                {"type": "CovarianceSanityFilter", "args": {}},
+                {"type": "SimpleDepthFilter", "args": {"min_depth": 0.1, "max_depth": "auto"}}]}},
+            "cov": {"obs": {"type": "MatchCovariance", "args": {
+                "kernel_size": 7, "match_cov_default": 0.25,
+                "min_flow_cov": 0.25, "min_depth_cov": 0.05}}},
+            "postprocess": {"type": "PoseInterpolate", "args": {}},
+            "keyframe": keyframe or {"type": "AllKeyframe", "args": {}},
+            "optimizer": {"type": optimizer, "args": {
+                "graph_type": graph_type, "parallel": True, "use_fp64": True, "capacity": 256}},
+        }
+    }
+    return build_dynamic_config(cfg)[0]
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    return SyntheticStereo({"n_frames": 10, "width": 320, "height": 240,
+                            "fx": 160.0, "fy": 160.0})
+
+
+def run_odometry(cfg, sequence, sandbox=None):
+    odom = MACVO.from_config(cfg)
+    odom.receive_frames(sequence, saveto=sandbox)
+    return odom
+
+
+def test_config_validates(sequence):
+    cfg = make_config()
+    MACVO.is_valid_config(cfg.Odometry)
+
+
+def test_e2e_static_motion_icp(sequence, tmp_path):
+    """Hard mode: no motion prior at all — the LM backend must recover the
+    full inter-frame motion from the metrics-aware ICP graph."""
+    cfg = make_config(motion="StaticMotionModel", graph_type="icp")
+    sandbox = Sandbox.create(tmp_path, "e2e_static")
+    run_odometry(cfg, sequence, sandbox)
+
+    m = evaluate_sandbox(sandbox)
+    assert m["ATE"].rmse <= ATE_BOUND, f"ATE {m['ATE'].rmse}"
+    assert m["RTE"].rmse <= RTE_BOUND, f"RTE {m['RTE'].rmse}"
+    assert m["ROE"].rmse <= ROE_BOUND, f"ROE {m['ROE'].rmse}"
+
+
+def test_e2e_gtmotion(sequence):
+    cfg = make_config(motion="GTMotionwithNoise", graph_type="icp")
+    odom = run_odometry(cfg, sequence)
+    est = odom.graph.frames.data["pose"].astype(np.float64)
+    gt = sequence.poses.astype(np.float64)
+    m = evaluate_all(gt, est)
+    assert m["ATE"].rmse <= ATE_BOUND
+    assert m["RTE"].rmse <= RTE_BOUND
+    assert m["ROE"].rmse <= ROE_BOUND
+
+
+def test_e2e_artifacts_written(sequence, tmp_path):
+    cfg = make_config(mapping=True)
+    sandbox = Sandbox.create(tmp_path, "e2e_artifacts")
+    odom = run_odometry(cfg, sequence, sandbox)
+    assert (sandbox.path("poses.npy")).exists()
+    assert (sandbox.path("ref_poses.npy")).exists()
+    assert (sandbox.path("tensor_map.npz")).exists()
+    poses = np.load(sandbox.path("poses.npy"))
+    assert poses.shape == (10, 8)
+    assert len(odom.graph.map_points) > 0, "mapping mode must add dense points"
+
+    from macvo_tpu.worldmap import VisualMap
+    m = VisualMap.load(sandbox.path("tensor_map.npz"))
+    assert len(m.frames) == 10
+    assert len(m.points) > 0
+
+
+def test_e2e_keyframe_skip_interpolation():
+    """UniformKeyframe(2): odd frames are marked need_interp and repaired by
+    the terminal PoseInterpolate pass (interior frames only — the processor
+    keeps a 5-frame endpoint guard, reference MapProcessor.py:37-39).
+
+    Note the GT oracle's flow spans ONE frame, so the factor graph would be
+    inconsistent across skipped frames — exactly as in the reference, GT
+    modules are only meaningful with AllKeyframe. Hence Empty optimizer +
+    GT motion here: this tests the keyframe/interp machinery, not the solver.
+    """
+    seq = SyntheticStereo({"n_frames": 20, "width": 160, "height": 120,
+                           "fx": 80.0, "fy": 80.0})
+    cfg = make_config(motion="GTMotionwithNoise", optimizer="Empty_TwoFrame_PGO",
+                      keyframe={"type": "UniformKeyframe", "args": {"keyframe_freq": 2}})
+    odom = run_odometry(cfg, seq)
+    est = odom.graph.frames.data["pose"].astype(np.float64)
+    gt = seq.poses.astype(np.float64)
+    interp_flags = odom.graph.frames.data["need_interp"]
+
+    keyframes = np.arange(0, 20, 2)
+    np.testing.assert_allclose(est[keyframes, :3], gt[keyframes, :3], atol=1e-5)
+    # Interior skipped frames were repaired by geodesic interpolation.
+    repaired = [i for i in range(5, 15) if i % 2 == 1]
+    err = np.linalg.norm(est[repaired, :3] - gt[repaired, :3], axis=-1)
+    assert err.max() < 0.02, f"interpolated-frame error {err}"
+    # Interp happened: repaired frames no longer carry the raw copied pose.
+    assert interp_flags[repaired].all()
+
+
+def test_e2e_empty_optimizer_uses_motion_model(sequence):
+    """With the no-op optimizer and perfect GT motion, trajectory == GT."""
+    cfg = make_config(motion="GTMotionwithNoise", optimizer="Empty_TwoFrame_PGO")
+    odom = run_odometry(cfg, sequence)
+    est = odom.graph.frames.data["pose"].astype(np.float64)
+    gt = sequence.poses.astype(np.float64)
+    m = evaluate_all(gt, est)
+    assert m["ATE"].rmse <= 1e-5
