@@ -1,0 +1,88 @@
+"""Benchmark: full MAC-VO pipeline throughput on one TPU chip @ 480x640.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = 12.5 fps — the reference's Fast mode (fp16 enc / bf16 dec,
+CUDA-graph capture) on an RTX 6000 Ada (BASELINE.md).
+
+The measured pipeline mirrors the Fast config: FlowFormerCov frontend
+(bf16/bf16, decoder_depth 12, batch-2 joint pair inference), cov-aware
+selection, covariance projection, outlier masking, map registration, and the
+async two-frame LM backend (f32 + local re-anchoring). Random weights —
+runtime is weight-independent (static shapes, fixed iteration counts).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_odometry(width: int, height: int):
+    from macvo_tpu.odometry import MACVO
+    from macvo_tpu.utils.config import build_dynamic_config
+
+    cfg, _ = build_dynamic_config({
+        "Odometry": {
+            "args": {"num_point": 200, "edgewidth": 20, "match_cov_default": 0.25,
+                     "profile": False, "mapping": False},
+            "frontend": {"type": "FlowFormerCovFrontend", "args": {
+                "weight": "random:0", "enc_dtype": "bf16", "dec_dtype": "bf16",
+                "enforce_positive_disparity": False, "decoder_depth": 12}},
+            "motion": {"type": "StaticMotionModel", "args": {}},
+            "keypoint": {"type": "CovAwareSelector", "args": {
+                "mask_width": 32, "max_depth": "auto", "kernel_size": 7,
+                "max_depth_cov": 1e5, "max_match_cov": 1e5}},
+            "mappoint": {"type": "RandomSelector", "args": {"mask_width": 32}},
+            "outlier": {"type": "FilterCompose", "args": {"filter_args": [
+                {"type": "CovarianceSanityFilter", "args": {}},
+                {"type": "SimpleDepthFilter", "args": {"min_depth": 0.1, "max_depth": "auto"}}]}},
+            "cov": {"obs": {"type": "MatchCovariance", "args": {
+                "kernel_size": 31, "match_cov_default": 0.25,
+                "min_flow_cov": 0.25, "min_depth_cov": 0.05}}},
+            "postprocess": {"type": "PoseInterpolate", "args": {}},
+            "keyframe": {"type": "AllKeyframe", "args": {}},
+            "optimizer": {"type": "Local_TwoFrame_PGO", "args": {
+                "graph_type": "icp", "parallel": True, "use_fp64": False, "capacity": 256}},
+        }
+    })
+    return MACVO.from_config(cfg)
+
+
+def main() -> None:
+    width, height = 640, 480
+    n_warm, n_meas = 3, 10
+
+    from macvo_tpu.data.datasets.synthetic import SyntheticStereo
+
+    seq = SyntheticStereo({
+        "n_frames": 4, "width": width, "height": height,
+        "fx": 320.0, "fy": 320.0, "cx": 320.0, "cy": 240.0,
+    })
+    frames = [seq[i] for i in range(4)]
+
+    odom = build_odometry(width, height)
+    odom.run(frames[0])
+    for i in range(n_warm):
+        odom.run(frames[1 + i % 3])
+
+    t0 = time.perf_counter()
+    for i in range(n_meas):
+        odom.run(frames[1 + i % 3])
+    # The backend solve of the last frame is still in flight — flush it.
+    odom.Optimizer.write_map(odom.graph)
+    elapsed = time.perf_counter() - t0
+
+    fps = n_meas / elapsed
+    baseline = 12.5
+    print(json.dumps({
+        "metric": "pipeline_fps_480x640",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

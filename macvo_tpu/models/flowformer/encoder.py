@@ -121,13 +121,17 @@ class CostPerceiverEncoder(nn.Module):
         x = nn.Conv(
             self.cost_latent_input_dim, (p, p), strides=(p, p), name="patch_embed"
         )(x)
-        n_tok = x.shape[1] * x.shape[2]
+        th, tw = x.shape[1], x.shape[2]
+        n_tok = th * tw
         tokens = x.reshape(b * n1, n_tok, self.cost_latent_input_dim)
-        # Learned linear positional embedding over patch tokens (cfg pe: linear).
-        pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02), (1, n_tok, self.cost_latent_input_dim)
-        )
-        tokens = tokens + pos
+        # Linear positional encoding (cfg ``pe: linear``): a learned projection
+        # of normalized patch-center coordinates — resolution-independent, so
+        # one parameter set serves any input size (unlike a per-token table).
+        ys = (jnp.arange(th, dtype=jnp.float32) + 0.5) / th
+        xs = (jnp.arange(tw, dtype=jnp.float32) + 0.5) / tw
+        coords = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(n_tok, 2)
+        pos = nn.Dense(self.cost_latent_input_dim, name="pos_proj")(2.0 * coords - 1.0)
+        tokens = tokens + pos[None].astype(tokens.dtype)
 
         latents = self.param(
             "latents", nn.initializers.normal(0.02),

@@ -23,6 +23,19 @@ from .frontend import (
     MatchOutput,
     retrieve_pixels,
 )
+from .frontend_network import (
+    FlowFormerCovDepth,
+    FlowFormerCovFrontend,
+    FlowFormerCovMatcher,
+    FlowFormerDepth,
+    FlowFormerMatcher,
+)
+from .frontend_tartanvo import (
+    TartanMotionNet,
+    TartanVOCovMatcher,
+    TartanVODepth,
+    TartanVOMatcher,
+)
 from .keyframe import AllKeyframe, IKeyframeSelector, UniformKeyframe
 from .keypoint import (
     CovAwareSelector,
@@ -54,13 +67,15 @@ __all__ = [
     "NoCovariance", "DepthCovariance", "MatchCovariance", "GaussianMixtureCovariance",
     "Modifier_Diagonalize", "Modifier_Normalize",
     "GTDepth", "GTMatcher", "ApplyGTDepthCov", "ApplyGTMatchCov", "ApplyGTMatchMask",
-    "FrontendCompose",
+    "FrontendCompose", "FlowFormerCovFrontend", "FlowFormerCovMatcher",
+    "FlowFormerMatcher", "FlowFormerDepth", "FlowFormerCovDepth",
     "AllKeyframe", "UniformKeyframe",
     "RandomSelector", "GridSelector", "GradientSelector", "SparseGradientSelector",
     "SparseGradienSelector", "CovAwareSelector", "CovAwareSelector_NoDepth",
     "MappingPointSelector", "SelectorCompose",
     "PoseInterpolate", "MotionInterpolate",
-    "StaticMotionModel", "GTMotionwithNoise", "ReadPoseFile",
+    "StaticMotionModel", "GTMotionwithNoise", "ReadPoseFile", "TartanMotionNet",
+    "TartanVOMatcher", "TartanVOCovMatcher", "TartanVODepth",
     "IdentityFilter", "FilterCompose", "CovarianceSanityFilter", "SimpleDepthFilter",
     "LikelyFrontOfCamFilter",
 ]
