@@ -17,6 +17,7 @@ import dataclasses
 from types import SimpleNamespace
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,12 +75,14 @@ class TwoFrame_PGO(IOptimizer[GraphInput, GraphOutput]):
             out[:n] = arr
             return out
 
-        K = frame.data["K"][0]
-        kp2 = obs.data["pixel2_uv"]
-        d2 = obs.data["pixel2_d"][:, 0]
-        points_c = np.asarray(
-            camera.pixel_to_point_ned(jnp.asarray(kp2), jnp.asarray(d2), jnp.asarray(K))
-        )
+        K = frame.data["K"][0].astype(np.float64)
+        kp2 = obs.data["pixel2_uv"].astype(np.float64)
+        d2 = obs.data["pixel2_d"][:, 0].astype(np.float64)
+        # NED backprojection in host numpy — building the problem is pure
+        # bookkeeping; the device sees ONE device_put of the whole block.
+        y = (kp2[:, 0] - K[0, 2]) * d2 / K[0, 0]
+        z = (kp2[:, 1] - K[1, 2]) * d2 / K[1, 1]
+        points_c = np.stack([d2, y, z], axis=1)
         cov_kp2 = np.zeros((n, 2, 2))
         cov_kp2[:, 0, 0] = obs.data["pixel2_uv_cov"][:, 0]
         cov_kp2[:, 1, 1] = obs.data["pixel2_uv_cov"][:, 1]
@@ -88,21 +91,22 @@ class TwoFrame_PGO(IOptimizer[GraphInput, GraphOutput]):
 
         mask = np.zeros((cap,), dtype=bool)
         mask[:n] = True
-        dt = self.dtype
-        data = TwoFrameData(
-            pose0=jnp.asarray(frame.data["pose"][0], dt),
-            points_w=jnp.asarray(pad(pts.data["pos_Tw"]), dt),
-            points_c=jnp.asarray(pad(points_c), dt),
-            kp2=jnp.asarray(pad(kp2), dt),
-            disp2=jnp.asarray(pad(obs.data["pixel2_disp"][:, 0], fill=1.0), dt),
-            cov_obs_c=jnp.asarray(pad(obs.data["obs2_covTc"]), dt),
-            cov_pts_w=jnp.asarray(pad(pts.data["cov_Tw"]), dt),
-            cov_kp2=jnp.asarray(pad(cov_kp2), dt),
-            disp2_cov=jnp.asarray(pad(obs.data["pixel2_disp_cov"][:, 0], fill=1.0), dt),
-            K=jnp.asarray(K, dt),
-            baseline=jnp.asarray(frame.data["baseline"][0], dt),
-            mask=jnp.asarray(mask),
+        np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
+        data_host = TwoFrameData(
+            pose0=frame.data["pose"][0].astype(np_dt),
+            points_w=pad(pts.data["pos_Tw"]).astype(np_dt),
+            points_c=pad(points_c).astype(np_dt),
+            kp2=pad(kp2).astype(np_dt),
+            disp2=pad(obs.data["pixel2_disp"][:, 0], fill=1.0).astype(np_dt),
+            cov_obs_c=pad(obs.data["obs2_covTc"]).astype(np_dt),
+            cov_pts_w=pad(pts.data["cov_Tw"]).astype(np_dt),
+            cov_kp2=pad(cov_kp2).astype(np_dt),
+            disp2_cov=pad(obs.data["pixel2_disp_cov"][:, 0], fill=1.0).astype(np_dt),
+            K=K.astype(np_dt),
+            baseline=np.asarray(frame.data["baseline"][0], np_dt),
+            mask=mask,
         )
+        data = jax.device_put(data_host)
         return GraphInput(frame_idx=frame_idx, from_idx=frame_idx - 1, data=data)
 
     def _optimize(self, context: Any, graph_data: GraphInput) -> tuple[Any, GraphOutput]:

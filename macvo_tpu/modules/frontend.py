@@ -20,11 +20,12 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from ..data.frame import StereoData
+from ..data.frame import StereoData, _register
 from ..geometry import camera
 from ..utils.registry import RegisteredConfigTestable
 
 
+@_register
 @dataclasses.dataclass
 class DepthOutput:
     """Dense stereo-depth estimate (reference: Module/Frontend/StereoDepth.py:33-40)."""
@@ -36,6 +37,7 @@ class DepthOutput:
     disparity_uncertainty: Optional[jnp.ndarray] = None   # (B,H,W,1)
 
 
+@_register
 @dataclasses.dataclass
 class MatchOutput:
     """Dense optical-flow estimate (reference: Module/Frontend/Matching.py:21-56)."""

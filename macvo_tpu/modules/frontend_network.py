@@ -40,7 +40,13 @@ _DTYPES = ("fp32", "fp16", "bf16")
 
 
 class _FlowFormerRunner:
-    """Shared model host: builds params, jits one padded forward per shape."""
+    """Shared model host: builds params, jits one padded forward per shape.
+
+    The ENTIRE inference path — padding, forward, unpadding — lives inside one
+    jit. One dispatch per call: remote-TPU per-op overhead (and the reference's
+    CUDA-launch overhead that motivated its CUDA-Graph variant) never touches
+    the per-frame loop.
+    """
 
     def __init__(self, config: SimpleNamespace) -> None:
         self.cfg = FlowFormerConfig(
@@ -62,22 +68,21 @@ class _FlowFormerRunner:
         )
         return load_params(weight, template)
 
-    def _forward(self, shape) -> object:
-        if shape not in self._jitted:
-            @jax.jit
-            def fn(params, img_a, img_b):
-                out = self.model.apply({"params": params}, img_a, img_b)
-                return out["flow_final"], normalize_cov(out["cov_final"])
-
-            self._jitted[shape] = fn
-        return self._jitted[shape]
-
-    def inference(self, img_a: jnp.ndarray, img_b: jnp.ndarray):
-        """Padded inference: (B,H,W,3) x2 -> (flow (B,H,W,2), cov (B,H,W,2))."""
+    def forward_traced(self, img_a: jnp.ndarray, img_b: jnp.ndarray):
+        """Traceable padded forward (usable inside a larger jit)."""
         padder = InputPadder(img_a.shape)
         pa, pb = padder.pad(img_a, img_b)
-        flow, cov = self._forward(pa.shape)(self.params, pa, pb)
-        return padder.unpad(flow), padder.unpad(cov)
+        out = self.model.apply({"params": self.params}, pa, pb)
+        flow = padder.unpad(out["flow_final"])
+        cov = padder.unpad(normalize_cov(out["cov_final"]))
+        return flow, cov
+
+    def inference(self, img_a: jnp.ndarray, img_b: jnp.ndarray):
+        """One-dispatch inference: (B,H,W,3) x2 -> (flow, cov) (B,H,W,2)."""
+        shape = tuple(img_a.shape)
+        if shape not in self._jitted:
+            self._jitted[shape] = jax.jit(self.forward_traced)
+        return self._jitted[shape](img_a, img_b)
 
 
 def _flow_to_depth(
@@ -100,41 +105,81 @@ def _flow_to_match(flow: jnp.ndarray, cov: jnp.ndarray) -> MatchOutput:
     return MatchOutput.from_partial_cov(flow=flow, cov=cov)
 
 
+def _traced_flow_to_depth(flow, cov, baseline, fx, enforce_positive: bool) -> DepthOutput:
+    disparity = jnp.abs(flow[..., 0:1])
+    disparity_cov = cov[..., 0:1]
+    depth = disparity_to_depth(disparity, baseline, fx)
+    depth_cov = disparity_to_depth_cov(disparity, disparity_cov, baseline, fx)
+    mask = (flow[..., 0:1] > 0) if enforce_positive else None
+    return DepthOutput(depth=depth, cov=depth_cov, disparity=disparity,
+                       disparity_uncertainty=disparity_cov, mask=mask)
+
+
 class FlowFormerCovFrontend(IFrontend):
-    """Joint frontend: one FlowFormerCov forward for depth + matching."""
+    """Joint frontend: one FlowFormerCov forward for depth + matching.
+
+    Each public method is exactly ONE device dispatch: the image batching,
+    padded forward, disparity->depth conversion and cov propagation are all
+    traced into a single jit (per input shape).
+    """
 
     def __init__(self, config: SimpleNamespace) -> None:
         super().__init__(config)
         self.runner = _FlowFormerRunner(config)
         self.enforce_positive = bool(getattr(config, "enforce_positive_disparity", False))
+        self._jit_cache: dict = {}
 
     @property
     def provide_cov(self) -> tuple[bool, bool]:
         return True, True
 
+    def _get(self, kind: str, shape: tuple):
+        key = (kind, shape)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        ep = self.enforce_positive
+
+        if kind == "depth":
+            def fn(img_l, img_r, baseline, fx):
+                flow, cov = self.runner.forward_traced(img_l, img_r)
+                return _traced_flow_to_depth(flow, cov, baseline, fx, ep)
+        elif kind == "pair":
+            def fn(l1, l2, r2, baseline, fx):
+                img_a = jnp.concatenate([l2, l1], axis=0)
+                img_b = jnp.concatenate([r2, l2], axis=0)
+                flow, cov = self.runner.forward_traced(img_a, img_b)
+                depth = _traced_flow_to_depth(flow[0:1], cov[0:1], baseline, fx, ep)
+                match = _flow_to_match(flow[1:2], cov[1:2])
+                return depth, match
+        else:  # triplet
+            def fn(l1, r1, l2, r2, baseline, fx):
+                img_a = jnp.concatenate([l1, l2, l1], axis=0)
+                img_b = jnp.concatenate([r1, r2, l2], axis=0)
+                flow, cov = self.runner.forward_traced(img_a, img_b)
+                return (
+                    _traced_flow_to_depth(flow[0:1], cov[0:1], baseline, fx, ep),
+                    _traced_flow_to_depth(flow[1:2], cov[1:2], baseline, fx, ep),
+                    _flow_to_match(flow[2:3], cov[2:3]),
+                )
+
+        self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
     def estimate_depth(self, frame: StereoData) -> DepthOutput:
-        flow, cov = self.runner.inference(frame.imageL, frame.imageR)
-        return _flow_to_depth(flow, cov, frame, self.enforce_positive)
+        fn = self._get("depth", tuple(frame.imageL.shape))
+        return fn(frame.imageL, frame.imageR,
+                  frame.baseline[0], frame.K[0, 0, 0])
 
     def estimate_pair(self, frame_t1: StereoData, frame_t2: StereoData):
         with timer.cpu_time("Frontend.forward"):
-            img_a = jnp.concatenate([frame_t2.imageL, frame_t1.imageL], axis=0)
-            img_b = jnp.concatenate([frame_t2.imageR, frame_t2.imageL], axis=0)
-            flow, cov = self.runner.inference(img_a, img_b)
-        return (
-            _flow_to_depth(flow[0:1], cov[0:1], frame_t2, self.enforce_positive),
-            _flow_to_match(flow[1:2], cov[1:2]),
-        )
+            fn = self._get("pair", tuple(frame_t1.imageL.shape))
+            return fn(frame_t1.imageL, frame_t2.imageL, frame_t2.imageR,
+                      frame_t2.baseline[0], frame_t2.K[0, 0, 0])
 
     def estimate_triplet(self, frame_t1: StereoData, frame_t2: StereoData):
-        img_a = jnp.concatenate([frame_t1.imageL, frame_t2.imageL, frame_t1.imageL], axis=0)
-        img_b = jnp.concatenate([frame_t1.imageR, frame_t2.imageR, frame_t2.imageL], axis=0)
-        flow, cov = self.runner.inference(img_a, img_b)
-        return (
-            _flow_to_depth(flow[0:1], cov[0:1], frame_t1, self.enforce_positive),
-            _flow_to_depth(flow[1:2], cov[1:2], frame_t2, self.enforce_positive),
-            _flow_to_match(flow[2:3], cov[2:3]),
-        )
+        fn = self._get("triplet", tuple(frame_t1.imageL.shape))
+        return fn(frame_t1.imageL, frame_t1.imageR, frame_t2.imageL, frame_t2.imageR,
+                  frame_t2.baseline[0], frame_t2.K[0, 0, 0])
 
     @classmethod
     def is_valid_config(cls, config) -> None:

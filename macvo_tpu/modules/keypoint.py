@@ -69,7 +69,10 @@ class IKeypointSelector(RegisteredConfigTestable, register=False):
         depth0_est: DepthOutput,
         depth1_est: DepthOutput,
         match_est: Optional[MatchOutput],
+        key: Optional[jax.Array] = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """``key`` makes the call pure (traceable inside an outer jit); when
+        omitted, an internal per-call key keeps standalone use stochastic."""
         raise NotImplementedError
 
 
@@ -77,10 +80,10 @@ class RandomSelector(IKeypointSelector):
     """Uniform random keypoints inside the border margin
     (reference: KeypointSelector.py:103-119)."""
 
-    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est):
+    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est, key=None):
         h, w = frame.height, frame.width
         m = self.config.mask_width
-        key = self._next_key()
+        key = key if key is not None else self._next_key()
         ku, kv = jax.random.split(key)
         u = jax.random.randint(ku, (num_point,), m, w - m)
         v = jax.random.randint(kv, (num_point,), m, h - m)
@@ -96,7 +99,7 @@ class GridSelector(IKeypointSelector):
     """Strictly uniform grid (reference: KeypointSelector.py:216-247). The grid
     is truncated/padded to exactly ``num_point`` rows for shape stability."""
 
-    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est):
+    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est, key=None):
         h = frame.height - 2 * self.config.mask_width
         w = frame.width - 2 * self.config.mask_width
         unit = max(1, int(math.sqrt(num_point // 2)))
@@ -130,10 +133,10 @@ class GradientSelector(IKeypointSelector):
     """Random points with Laplacian magnitude above mean + k*std
     (reference: KeypointSelector.py:121-158)."""
 
-    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est):
+    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est, key=None):
         return _gradient_mask_select(
             frame.imageL[0], float(self.config.grad_std), int(self.config.mask_width),
-            num_point, self._next_key(),
+            num_point, key if key is not None else self._next_key(),
         )
 
     @classmethod
@@ -148,10 +151,10 @@ class SparseGradientSelector(IKeypointSelector):
     """Gradient selector + NMS sparsification (reference: KeypointSelector.py:161-213).
     Also registered under the reference's (typo'd) name ``SparseGradienSelector``."""
 
-    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est):
+    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est, key=None):
         return _gradient_mask_select(
             frame.imageL[0], float(self.config.grad_std), int(self.config.mask_width),
-            num_point, self._next_key(), nms_size=int(self.config.nms_size),
+            num_point, key if key is not None else self._next_key(), nms_size=int(self.config.nms_size),
         )
 
     @classmethod
@@ -196,7 +199,7 @@ class CovAwareSelector(IKeypointSelector):
     min-NMS, border/depth/adaptive-cov masks, random K-subset
     (reference: KeypointSelector.py:250-346)."""
 
-    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est):
+    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est, key=None):
         assert depth0_est.cov is not None and depth1_est.cov is not None
         max_depth = self.config.max_depth
         if max_depth == "auto":
@@ -219,7 +222,7 @@ class CovAwareSelector(IKeypointSelector):
             d0, d0_cov, d1, d1_cov, flow_cov, model_mask,
             float(max_depth), float(self.config.max_depth_cov), float(self.config.max_match_cov),
             int(self.config.kernel_size), int(self.config.mask_width), num_point,
-            self._next_key(), has_flow_cov,
+            key if key is not None else self._next_key(), has_flow_cov,
         )
 
     @classmethod
@@ -253,9 +256,9 @@ class CovAwareSelector_NoDepth(IKeypointSelector):
         super().__init__(config)
         self._fallback = GridSelector(SimpleNamespace(mask_width=config.mask_width))
 
-    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est):
+    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est, key=None):
         if match_est is None or match_est.cov is None:
-            return self._fallback.select_point(frame, num_point, depth0_est, depth1_est, match_est)
+            return self._fallback.select_point(frame, num_point, depth0_est, depth1_est, match_est, key=key)
         flow_cov = _squeeze_map(match_est.cov)
         model_mask = jnp.ones(flow_cov.shape[:2], dtype=bool)
         if match_est.mask is not None:
@@ -263,7 +266,7 @@ class CovAwareSelector_NoDepth(IKeypointSelector):
         return _cov_aware_nodepth_select(
             flow_cov, model_mask, float(self.config.max_match_cov),
             int(self.config.kernel_size), int(self.config.mask_width), num_point,
-            self._next_key(),
+            key if key is not None else self._next_key(),
         )
 
     @classmethod
@@ -286,12 +289,12 @@ class MappingPointSelector(IKeypointSelector):
     """Dense-mapping point selection by depth / depth-cov thresholds
     (reference: KeypointSelector.py:78-100)."""
 
-    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est):
+    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est, key=None):
         assert depth0_est.cov is not None
         return _mapping_select(
             _squeeze_map(depth0_est.depth), _squeeze_map(depth0_est.cov),
             float(self.config.max_depth), float(self.config.max_depth_cov),
-            int(self.config.mask_width), num_point, self._next_key(),
+            int(self.config.mask_width), num_point, key if key is not None else self._next_key(),
         )
 
     @classmethod
@@ -315,10 +318,11 @@ class SelectorCompose(IKeypointSelector):
         total = sum(config.weight)
         self.weights = [wgt / total for wgt in config.weight]
 
-    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est):
+    def select_point(self, frame, num_point, depth0_est, depth1_est, match_est, key=None):
         uvs, valids = [], []
-        for sel, wgt in zip(self.selectors, self.weights):
-            uv, valid = sel.select_point(frame, int(num_point * wgt), depth0_est, depth1_est, match_est)
+        for i, (sel, wgt) in enumerate(zip(self.selectors, self.weights)):
+            sub = jax.random.fold_in(key, i) if key is not None else None
+            uv, valid = sel.select_point(frame, int(num_point * wgt), depth0_est, depth1_est, match_est, key=sub)
             uvs.append(uv)
             valids.append(valid)
         return jnp.concatenate(uvs, axis=0), jnp.concatenate(valids, axis=0)

@@ -15,9 +15,11 @@ one-frame-latency pipelining the reference builds with a child process
 
 from __future__ import annotations
 
+import dataclasses
 from types import SimpleNamespace
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,6 +89,9 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         # (frame, map frame index, depth output) of the previous keyframe
         self.prev_keyframe: Optional[tuple[StereoFrame, int, DepthOutput]] = None
         self.on_optimize_writeback: list[MACVO.T_SYSHOOK] = []
+        self._pipeline_cache: dict = {}
+        self._rng_key = jax.random.PRNGKey(0)
+        self._frame_count = 0
 
     # -- config ---------------------------------------------------------------
     @classmethod
@@ -154,6 +159,93 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
             assert self.prev_keyframe is not None
             self.run_pair(self.prev_keyframe[0], frame)
 
+    def _pipeline_core(self, meta0: StereoData, meta1: StereoData):
+        """Build the traceable per-frame keypoint pipeline.
+
+        Everything from keypoint selection to world-frame registration is ONE
+        jitted function: selection -> flow gather -> in-bounds mask -> depth /
+        cov gathers -> 2D->3D covariance -> outlier masks -> world transform.
+        ``meta0/meta1`` carry *host* (numpy) intrinsics so frame.fx etc. are
+        compile-time constants; only arrays flow through the trace. One device
+        dispatch + one bulk device_get per frame replaces the reference's many
+        per-stage syncs (and is what the 30 ms-per-op remote-TPU link demands).
+        """
+
+        def core(imageL0, depth0, depth1, match01, prev_pose, key):
+            stereo0 = dataclasses.replace(meta0, imageL=imageL0)
+            kp0_uv, valid = self.KeypointSelector.select_point(
+                stereo0, self.num_point, depth0, depth1, match01, key=key
+            )
+            kp0_f = kp0_uv.astype(jnp.float32)
+            kp1_f = kp0_f + retrieve_pixels(kp0_uv, match01.flow)
+            valid = valid & camera.in_bounds(
+                kp1_f, meta1.width, meta1.height, margin=self.edge_width
+            )
+
+            kp0_d = retrieve_pixels(kp0_uv, depth0.depth)[:, 0]
+            kp0_disp = retrieve_pixels(kp0_uv, depth0.disparity)
+            kp0_sigma_disp = retrieve_pixels(kp0_uv, depth0.disparity_uncertainty)
+            kp0_sigma_dd = retrieve_pixels(kp0_uv, depth0.cov)
+            kp1_d = retrieve_pixels(kp1_f, depth1.depth)[:, 0]
+            kp1_disp = retrieve_pixels(kp1_f, depth1.disparity)
+            kp1_sigma_disp = retrieve_pixels(kp1_f, depth1.disparity_uncertainty)
+            kp1_sigma_dd = retrieve_pixels(kp1_f, depth1.cov)
+
+            n_kp = kp0_uv.shape[0]
+            # kp0 was *selected*, not matched: its uv uncertainty is the pixel
+            # quantization default (reference: MACVO.py:226-231).
+            kp0_sigma_uv = jnp.full((n_kp, 3), self.match_cov_default, dtype=jnp.float32)
+            kp0_sigma_uv = kp0_sigma_uv.at[:, 2].set(0.0)
+            kp1_sigma_uv = retrieve_pixels(kp0_uv, match01.cov)
+
+            kp0_color = (retrieve_pixels(kp0_uv, imageL0) * 255.0).astype(jnp.uint8)
+
+            pos0_Tc = camera.pixel_to_point_ned(kp0_f, kp0_d, jnp.asarray(meta0.K[0]))
+            pos0_covTc = self.ObsCovModel.estimate(
+                meta0, kp0_f, depth0,
+                kp0_sigma_dd[:, 0] if kp0_sigma_dd is not None else None,
+                kp0_sigma_uv,
+            )
+            pos1_covTc = self.ObsCovModel.estimate(
+                meta1, kp1_f, depth1,
+                kp1_sigma_dd[:, 0] if kp1_sigma_dd is not None else None,
+                kp1_sigma_uv,
+            )
+
+            def or_fill(x, width: int):
+                if x is not None:
+                    return x
+                return jnp.full((n_kp, width), -1.0, dtype=jnp.float32)
+
+            obs = {
+                "pixel1_uv": kp0_f,
+                "pixel2_uv": kp1_f,
+                "pixel1_d": kp0_d[:, None],
+                "pixel2_d": kp1_d[:, None],
+                "pixel1_disp": or_fill(kp0_disp, 1),
+                "pixel2_disp": or_fill(kp1_disp, 1),
+                "pixel1_disp_cov": or_fill(kp0_sigma_disp, 1),
+                "pixel2_disp_cov": or_fill(kp1_sigma_disp, 1),
+                "pixel1_uv_cov": kp0_sigma_uv,
+                "pixel2_uv_cov": or_fill(kp1_sigma_uv, 3),
+                "pixel1_d_cov": or_fill(kp0_sigma_dd, 1),
+                "pixel2_d_cov": or_fill(kp1_sigma_dd, 1),
+                "obs1_covTc": pos0_covTc,
+                "obs2_covTc": pos1_covTc,
+            }
+            assert self.OutlierFilter.verify_shape(obs)
+            keep = valid & self.OutlierFilter.filter(obs)
+
+            # World-frame landmark registration under the previous pose
+            # (reference: MACVO.py:273-283).
+            prev_rot = se3.rotmat(prev_pose).astype(pos0_covTc.dtype)
+            pos0_Tw = se3.act(prev_pose, pos0_Tc)
+            cov0_Tw = jnp.einsum("ij,njk,lk->nil", prev_rot, pos0_covTc, prev_rot)
+
+            return obs, keep, pos0_Tw, cov0_Tw, kp0_color
+
+        return jax.jit(core)
+
     def run_pair(self, frame0: StereoFrame, frame1: StereoFrame) -> None:
         assert self.prev_keyframe is not None
         prev_frame, prev_idx, depth0 = self.prev_keyframe
@@ -175,91 +267,42 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         for hook in self.on_optimize_writeback:
             hook(self)
 
-        prev_pose = jnp.asarray(self.graph.frames.data["pose"][prev_idx])
-        self.MotionEstimator.update(prev_pose)
-        est_pose = self.MotionEstimator.predict(frame1, match01.flow, depth1.depth)
+        prev_pose_np = self.graph.frames.data["pose"][prev_idx]
+        # Small-pose bookkeeping runs on the host CPU backend — a handful of
+        # (7,)-sized ops is pure dispatch latency on the accelerator.
+        with jax.default_device(jax.devices("cpu")[0]):
+            self.MotionEstimator.update(jnp.asarray(prev_pose_np))
+            est_pose = self.MotionEstimator.predict(frame1, match01.flow, depth1.depth)
 
-        # Fixed-K keypoint pipeline (all device, masked) ----------------------
-        with timer.cpu_time("KPSelector.select"):
-            kp0_uv, valid = self.KeypointSelector.select_point(
-                frame0.stereo, self.num_point, depth0, depth1, match01
+        shape_key = (frame0.stereo.height, frame0.stereo.width)
+        if shape_key not in self._pipeline_cache:
+            self._pipeline_cache[shape_key] = self._pipeline_core(
+                frame0.stereo, frame1.stereo
             )
-        kp0_f = kp0_uv.astype(jnp.float32)
-        kp1_f = kp0_f + retrieve_pixels(kp0_uv, match01.flow)
-        valid = valid & camera.in_bounds(
-            kp1_f, frame1.stereo.width, frame1.stereo.height, margin=self.edge_width
-        )
+        self._frame_count += 1
+        key = jax.random.fold_in(self._rng_key, 2 * self._frame_count)
 
-        kp0_d = retrieve_pixels(kp0_uv, depth0.depth)[:, 0]
-        kp0_disp = retrieve_pixels(kp0_uv, depth0.disparity)
-        kp0_sigma_disp = retrieve_pixels(kp0_uv, depth0.disparity_uncertainty)
-        kp0_sigma_dd = retrieve_pixels(kp0_uv, depth0.cov)
-        kp1_d = retrieve_pixels(kp1_f, depth1.depth)[:, 0]
-        kp1_disp = retrieve_pixels(kp1_f, depth1.disparity)
-        kp1_sigma_disp = retrieve_pixels(kp1_f, depth1.disparity_uncertainty)
-        kp1_sigma_dd = retrieve_pixels(kp1_f, depth1.cov)
+        with timer.cpu_time("KP pipeline"):
+            obs_dev, keep_dev, pos0_Tw_dev, cov0_Tw_dev, color_dev = \
+                self._pipeline_cache[shape_key](
+                    frame0.stereo.imageL, depth0, depth1, match01,
+                    jnp.asarray(prev_pose_np), key,
+                )
 
-        n_kp = kp0_uv.shape[0]
-        # kp0 was *selected*, not matched: its uv uncertainty is the pixel
-        # quantization default (reference: MACVO.py:226-231).
-        kp0_sigma_uv = jnp.full((n_kp, 3), self.match_cov_default, dtype=jnp.float32)
-        kp0_sigma_uv = kp0_sigma_uv.at[:, 2].set(0.0)
-        kp1_sigma_uv = retrieve_pixels(kp0_uv, match01.cov)
-
-        kp0_color = (retrieve_pixels(kp0_uv, frame0.stereo.imageL) * 255.0).astype(jnp.uint8)
-
-        with timer.cpu_time("Cov Model"):
-            pos0_Tc = camera.pixel_to_point_ned(kp0_f, kp0_d, jnp.asarray(frame0.stereo.K[0]))
-            pos0_covTc = self.ObsCovModel.estimate(
-                frame0.stereo, kp0_f, depth0,
-                kp0_sigma_dd[:, 0] if kp0_sigma_dd is not None else None,
-                kp0_sigma_uv,
+        # -- THE host sync: one bulk transfer, then compact and register ------
+        with timer.cpu_time("Map sync"):
+            obs_np, keep_np, pos0_Tw, cov0_Tw, kp0_color = jax.device_get(
+                (obs_dev, keep_dev, pos0_Tw_dev, cov0_Tw_dev, color_dev)
             )
-            pos1_covTc = self.ObsCovModel.estimate(
-                frame1.stereo, kp1_f, depth1,
-                kp1_sigma_dd[:, 0] if kp1_sigma_dd is not None else None,
-                kp1_sigma_uv,
-            )
-
-        def or_fill(x, width: int):
-            if x is not None:
-                return x
-            return jnp.full((n_kp, width), -1.0, dtype=jnp.float32)
-
-        obs = {
-            "pixel1_uv": kp0_f,
-            "pixel2_uv": kp1_f,
-            "pixel1_d": kp0_d[:, None],
-            "pixel2_d": kp1_d[:, None],
-            "pixel1_disp": or_fill(kp0_disp, 1),
-            "pixel2_disp": or_fill(kp1_disp, 1),
-            "pixel1_disp_cov": or_fill(kp0_sigma_disp, 1),
-            "pixel2_disp_cov": or_fill(kp1_sigma_disp, 1),
-            "pixel1_uv_cov": kp0_sigma_uv,
-            "pixel2_uv_cov": or_fill(kp1_sigma_uv, 3),
-            "pixel1_d_cov": or_fill(kp0_sigma_dd, 1),
-            "pixel2_d_cov": or_fill(kp1_sigma_dd, 1),
-            "obs1_covTc": pos0_covTc,
-            "obs2_covTc": pos1_covTc,
-        }
-        assert self.OutlierFilter.verify_shape(obs)
-        keep = valid & self.OutlierFilter.filter(obs)
-
-        # World-frame landmark registration under the previous pose
-        # (reference: MACVO.py:273-283).
-        prev_rot = se3.rotmat(prev_pose).astype(jnp.float64)
-        pos0_Tw = se3.act(prev_pose, pos0_Tc)
-        cov0_Tw = jnp.einsum("ij,njk,lk->nil", prev_rot, pos0_covTc, prev_rot)
-
-        # -- THE host sync: compact masked arrays and register the graph ------
-        keep_np = np.asarray(keep)
-        obs_np = {k: np.asarray(v)[keep_np] for k, v in obs.items()}
+        obs_np = {k: v[keep_np] for k, v in obs_np.items()}
+        obs_np["obs1_covTc"] = obs_np["obs1_covTc"].astype(np.float64)
+        obs_np["obs2_covTc"] = obs_np["obs2_covTc"].astype(np.float64)
         n_obs = int(keep_np.sum())
 
         point_idx = self.graph.points.push({
-            "pos_Tw": np.asarray(pos0_Tw)[keep_np],
-            "cov_Tw": np.asarray(cov0_Tw)[keep_np],
-            "color": np.asarray(kp0_color)[keep_np],
+            "pos_Tw": pos0_Tw[keep_np],
+            "cov_Tw": cov0_Tw[keep_np].astype(np.float64),
+            "color": kp0_color[keep_np],
         })
         num_match_orig = len(self.graph.match)
         frame_idx = self.push_keyframe(frame1, np.asarray(est_pose))
@@ -283,32 +326,49 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
 
         # Dense mapping points (reference: MACVO.py:313-337).
         if self.mapping:
-            self._push_mapping_points(frame0, frame_idx, depth0, depth1, match01, prev_pose, prev_rot)
+            self._push_mapping_points(frame0, frame_idx, depth0, depth1, match01, prev_pose_np)
 
-    def _push_mapping_points(self, frame0, frame_idx, depth0, depth1, match01, prev_pose, prev_rot):
-        map_uv, map_valid = self.MappointSelector.select_point(
-            frame0.stereo, self.num_map_point, depth0, depth1, match01
-        )
-        map_f = map_uv.astype(jnp.float32)
-        map_d = retrieve_pixels(map_uv, depth0.depth)[:, 0]
-        map_Tc = camera.pixel_to_point_ned(map_f, map_d, jnp.asarray(frame0.stereo.K[0]))
-        map_sigma_dd = retrieve_pixels(map_uv, depth0.cov)
-        n = map_uv.shape[0]
-        map_sigma_uv = jnp.full((n, 3), self.match_cov_default, dtype=jnp.float32)
-        map_sigma_uv = map_sigma_uv.at[:, 2].set(0.0)
-        map_cov_Tc = self.ObsCovModel.estimate(
-            frame0.stereo, map_f, depth0,
-            map_sigma_dd[:, 0] if map_sigma_dd is not None else None, map_sigma_uv,
-        )
-        map_color = (retrieve_pixels(map_uv, frame0.stereo.imageL) * 255.0).astype(jnp.uint8)
-        map_Tw = se3.act(prev_pose, map_Tc)
+    def _mapping_core(self, meta0: StereoData):
+        """Fused (jitted) dense-mapping point pipeline."""
 
-        valid_np = np.asarray(map_valid)
+        def core(imageL0, depth0, depth1, match01, prev_pose, key):
+            stereo0 = dataclasses.replace(meta0, imageL=imageL0)
+            map_uv, map_valid = self.MappointSelector.select_point(
+                stereo0, self.num_map_point, depth0, depth1, match01, key=key
+            )
+            map_f = map_uv.astype(jnp.float32)
+            map_d = retrieve_pixels(map_uv, depth0.depth)[:, 0]
+            map_Tc = camera.pixel_to_point_ned(map_f, map_d, jnp.asarray(meta0.K[0]))
+            map_sigma_dd = retrieve_pixels(map_uv, depth0.cov)
+            n = map_uv.shape[0]
+            map_sigma_uv = jnp.full((n, 3), self.match_cov_default, dtype=jnp.float32)
+            map_sigma_uv = map_sigma_uv.at[:, 2].set(0.0)
+            map_cov_Tc = self.ObsCovModel.estimate(
+                stereo0, map_f, depth0,
+                map_sigma_dd[:, 0] if map_sigma_dd is not None else None, map_sigma_uv,
+            )
+            map_color = (retrieve_pixels(map_uv, imageL0) * 255.0).astype(jnp.uint8)
+            map_Tw = se3.act(prev_pose, map_Tc)
+            return map_valid, map_Tw, map_cov_Tc, map_color
+
+        return jax.jit(core)
+
+    def _push_mapping_points(self, frame0, frame_idx, depth0, depth1, match01, prev_pose_np):
+        cache_key = ("mapping", frame0.stereo.height, frame0.stereo.width)
+        if cache_key not in self._pipeline_cache:
+            self._pipeline_cache[cache_key] = self._mapping_core(frame0.stereo)
+        key = jax.random.fold_in(self._rng_key, 2 * self._frame_count + 1)
+        valid_np, map_Tw, map_cov_Tc, map_color = jax.device_get(
+            self._pipeline_cache[cache_key](
+                frame0.stereo.imageL, depth0, depth1, match01,
+                jnp.asarray(prev_pose_np), key,
+            )
+        )
         num_map_orig = len(self.graph.map_points)
         self.graph.map_points.push({
-            "pos_Tw": np.asarray(map_Tw)[valid_np],
-            "cov_Tw": np.asarray(map_cov_Tc)[valid_np],
-            "color": np.asarray(map_color)[valid_np],
+            "pos_Tw": map_Tw[valid_np],
+            "cov_Tw": map_cov_Tc[valid_np].astype(np.float64),
+            "color": map_color[valid_np],
         })
         self.graph.frame2map.add(
             np.array([frame_idx]), np.array([num_map_orig]), np.array([int(valid_np.sum())])

@@ -75,6 +75,8 @@ class ConfigTestable:
     def _enforce_config_spec(cls, config: Any, spec: dict[str, Callable[[Any], bool]]) -> None:
         """Each spec entry maps an attribute name to a predicate on its value."""
         if config is None:
+            if not spec:
+                return  # bare `args:` yaml node with no required keys
             raise ValueError(f"{cls.__name__}: config is None but spec expects {sorted(spec)}")
         for key, predicate in spec.items():
             if not hasattr(config, key):
