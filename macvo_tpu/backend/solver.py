@@ -151,7 +151,7 @@ class _LMState(NamedTuple):
     done: jnp.ndarray        # bool
 
 
-@partial(jax.jit, static_argnames=("graph_type", "max_steps", "max_rejects"))
+@partial(jax.jit, static_argnames=("graph_type", "max_steps", "max_rejects", "axis_name"))
 def solve_two_frame(
     data: TwoFrameData,
     graph_type: str = "icp",
@@ -167,15 +167,26 @@ def solve_two_frame(
     plateau_patience: int = 2,
     max_steps: int = 10,
     max_rejects: int = 16,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Run the damped LM solve; returns the optimized (7,) SE3 pose.
 
     The robust kernel matches the reference stack: Huber(delta=0.1) with
     Triggs-style IRLS weights on the whitened residual norm.
+
+    ``axis_name``: when set, the solve runs SPMD inside a ``shard_map`` with
+    the observation axis sharded across devices — the per-device partial
+    Hessian/gradient/loss contributions are ``psum``'d over ICI, after which
+    every device runs the identical 6x6 LM update (the distributed-BA
+    pattern, SURVEY.md §7 M8). The N-dim arrays of ``data`` then hold this
+    device's shard.
     """
     terms_fn = _GRAPH_TERMS[graph_type]
     dtype = data.points_w.dtype
     mask_f = data.mask.astype(dtype)
+
+    def _reduce(x):
+        return lax.psum(x, axis_name) if axis_name is not None else x
 
     def robustified_system(twist):
         pose = se3.mul(data.pose0, se3.exp(twist))
@@ -190,10 +201,10 @@ def solve_two_frame(
         rho = jnp.where(
             e <= huber_delta, sq, 2.0 * huber_delta * e - huber_delta**2
         )
-        loss = jnp.sum(rho * mask_f)
+        loss = _reduce(jnp.sum(rho * mask_f))
         Weff = W * (w_huber * mask_f)[:, None, None]
-        A = jnp.einsum("ndi,ndk,nkj->ij", J, Weff, J)
-        b = -jnp.einsum("ndi,ndk,nk->i", J, Weff, r)
+        A = _reduce(jnp.einsum("ndi,ndk,nkj->ij", J, Weff, J))
+        b = _reduce(-jnp.einsum("ndi,ndk,nk->i", J, Weff, r))
         return loss, A, b
 
     def loss_only(twist):
@@ -203,7 +214,7 @@ def solve_two_frame(
         sq = jnp.maximum(jnp.einsum("ni,nij,nj->n", r, W, r), 0.0)
         e = jnp.sqrt(sq + 1e-24)
         rho = jnp.where(e <= huber_delta, sq, 2.0 * huber_delta * e - huber_delta**2)
-        return jnp.sum(rho * mask_f)
+        return _reduce(jnp.sum(rho * mask_f))
 
     init_loss = loss_only(jnp.zeros((6,), dtype))
     init = _LMState(
