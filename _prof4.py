@@ -5,7 +5,8 @@ from macvo_tpu.data.datasets.synthetic import SyntheticStereo
 
 timer.setup(True)
 seq = SyntheticStereo({"n_frames": 4, "width": 640, "height": 480, "fx": 320.0, "fy": 320.0, "cx": 320.0, "cy": 240.0})
-frames = [seq[i] for i in range(4)]
+from macvo_tpu.data.frame import to_device
+frames = [to_device(seq[i]) for i in range(4)]
 odom = bench.build_odometry(640, 480)
 odom.run(frames[0])
 for i in range(3):

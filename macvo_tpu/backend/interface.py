@@ -61,5 +61,13 @@ class IOptimizer(RegisteredConfigTestable, Generic[T_GraphInput, T_GraphOutput],
         result, self._pending = self._pending, None
         self.write_graph_data(result, global_map)
 
+    def take_pending(self) -> Optional[T_GraphOutput]:
+        """Hand the pending result to the caller WITHOUT materializing it —
+        the orchestrator's fused pipeline consumes the optimized pose
+        device-side and updates the host map from its single packed sync
+        (zero extra link round-trips). Clears the pending slot."""
+        result, self._pending = self._pending, None
+        return result
+
     def terminate(self) -> None:
         self._pending = None

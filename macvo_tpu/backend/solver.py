@@ -129,6 +129,70 @@ def _reproj_disp_terms(pose, data: TwoFrameData):
 _GRAPH_TERMS = {"icp": _icp_terms, "reproj": _reproj_terms, "disp": _reproj_disp_terms}
 
 
+# -- packed transport ------------------------------------------------------------
+# One flat (cap+1, 33) array carries the whole problem to the device in a
+# SINGLE transfer (a tuple of 13 arrays costs 13 link round-trips on a remote
+# TPU). Columns: points_w 0:3 | points_c 3:6 | kp2 6:8 | disp2 8 |
+# cov_obs_c 9:18 | cov_pts_w 18:27 | cov_kp2 27:31 | disp2_cov 31 | mask 32.
+# The extra LAST row holds the scalars: pose0 0:7 | fx fy cx cy 7:11 | bl 11.
+PACKED_WIDTH = 33
+
+
+def pack_two_frame(data) -> "jnp.ndarray":
+    """Host-side: TwoFrameData (numpy leaves) -> (cap+1, 33) float array."""
+    import numpy as np
+
+    cap = data.mask.shape[0]
+    out = np.zeros((cap + 1, PACKED_WIDTH), dtype=np.asarray(data.points_w).dtype)
+    out[:cap, 0:3] = data.points_w
+    out[:cap, 3:6] = data.points_c
+    out[:cap, 6:8] = data.kp2
+    out[:cap, 8] = data.disp2
+    out[:cap, 9:18] = np.asarray(data.cov_obs_c).reshape(cap, 9)
+    out[:cap, 18:27] = np.asarray(data.cov_pts_w).reshape(cap, 9)
+    out[:cap, 27:31] = np.asarray(data.cov_kp2).reshape(cap, 4)
+    out[:cap, 31] = data.disp2_cov
+    out[:cap, 32] = np.asarray(data.mask, dtype=out.dtype)
+    K = np.asarray(data.K)
+    out[cap, 0:7] = data.pose0
+    out[cap, 7:11] = (K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+    out[cap, 11] = data.baseline
+    return out
+
+
+def unpack_two_frame(packed: jnp.ndarray) -> TwoFrameData:
+    """Traced: (cap+1, 33) -> TwoFrameData."""
+    cap = packed.shape[0] - 1
+    aux = packed[cap]
+    fx, fy, cx, cy = aux[7], aux[8], aux[9], aux[10]
+    zero = jnp.zeros((), packed.dtype)
+    one = jnp.ones((), packed.dtype)
+    K = jnp.stack([
+        jnp.stack([fx, zero, cx]), jnp.stack([zero, fy, cy]),
+        jnp.stack([zero, zero, one]),
+    ])
+    return TwoFrameData(
+        pose0=aux[0:7],
+        points_w=packed[:cap, 0:3],
+        points_c=packed[:cap, 3:6],
+        kp2=packed[:cap, 6:8],
+        disp2=packed[:cap, 8],
+        cov_obs_c=packed[:cap, 9:18].reshape(cap, 3, 3),
+        cov_pts_w=packed[:cap, 18:27].reshape(cap, 3, 3),
+        cov_kp2=packed[:cap, 27:31].reshape(cap, 2, 2),
+        disp2_cov=packed[:cap, 31],
+        K=K,
+        baseline=aux[11],
+        mask=packed[:cap, 32] > 0.5,
+    )
+
+
+@partial(jax.jit, static_argnames=("graph_type",))
+def solve_two_frame_packed(packed: jnp.ndarray, graph_type: str = "icp") -> jnp.ndarray:
+    """Single-upload entry: unpack + solve in one jit."""
+    return solve_two_frame(unpack_two_frame(packed), graph_type=graph_type)
+
+
 def _block_whiten(cov: jnp.ndarray, mask: jnp.ndarray, ridge: float = 1e-12) -> jnp.ndarray:
     """Per-observation inverse covariance; masked rows get zero weight.
 

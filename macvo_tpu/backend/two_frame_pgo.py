@@ -7,8 +7,13 @@ previous keyframe's frame for numerical stability (reference:
 Optimizer.py:111-150) — this is what makes float32 viable on TPU.
 ``Empty_TwoFrame_PGO`` is the no-op debugging variant.
 
+Transport discipline: the whole problem is assembled host-side into ONE
+packed array (solver.pack_two_frame) — a single upload — and the solve is a
+single async dispatch; the optimized pose is either fetched by ``write_map``
+(one tiny download) or consumed device-side by the orchestrator's fused
+pipeline via ``pending_pose`` (zero downloads, see odometry/macvo.py).
 Observations are padded to a static ``capacity`` so every frame reuses one
-compiled solve (no recompiles, shapes never change).
+compiled solve.
 """
 
 from __future__ import annotations
@@ -21,20 +26,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry import camera, se3
 from ..utils import timer
 from ..worldmap import VisualMap
 from .interface import IOptimizer
-from .solver import TwoFrameData, solve_two_frame
+from .solver import pack_two_frame, solve_two_frame_packed
+
+
+# -- small host-side SE3 helpers (numpy; avoids device dispatches for
+#    problem assembly) -----------------------------------------------------------
+
+def _np_quat_rotmat(q: np.ndarray) -> np.ndarray:
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _np_pose_inv(pose: np.ndarray) -> np.ndarray:
+    q_inv = pose[3:7] * np.array([-1.0, -1.0, -1.0, 1.0])
+    t_inv = -_np_quat_rotmat(q_inv) @ pose[:3]
+    return np.concatenate([t_inv, q_inv])
+
+
+def _np_pose_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x1, y1, z1, w1 = a[3:7]
+    x2, y2, z2, w2 = b[3:7]
+    q = np.array([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ])
+    q /= max(np.linalg.norm(q), 1e-12)
+    t = a[:3] + _np_quat_rotmat(a[3:7]) @ b[:3]
+    return np.concatenate([t, q])
 
 
 @dataclasses.dataclass
 class GraphInput:
-    """(reference: TwoFramePGO/Graphs.py:11-21)"""
+    """(reference: TwoFramePGO/Graphs.py:11-21) — packed transport form."""
 
     frame_idx: int
     from_idx: int
-    data: TwoFrameData
+    packed: np.ndarray           # (cap+1, 33) host array, see solver.pack_two_frame
 
 
 @dataclasses.dataclass
@@ -43,7 +79,7 @@ class GraphOutput:
 
     frame_idx: int
     from_idx: int
-    pose: jnp.ndarray  # (7,) — still device-async until write_graph_data
+    pose: jnp.ndarray  # (7,) — still device-async until fetched
 
 
 class TwoFrame_PGO(IOptimizer[GraphInput, GraphOutput]):
@@ -52,15 +88,15 @@ class TwoFrame_PGO(IOptimizer[GraphInput, GraphOutput]):
     def __init__(self, config: SimpleNamespace) -> None:
         super().__init__(config)
         self.capacity = int(getattr(config, "capacity", self.DEFAULT_CAPACITY))
-        self.dtype = jnp.float64 if getattr(config, "use_fp64", False) else jnp.float32
+        self.np_dtype = np.float64 if getattr(config, "use_fp64", False) else np.float32
 
     @staticmethod
     def init_context(config: SimpleNamespace) -> Any:
         return {"graph_type": config.graph_type}
 
-    def get_graph_data(self, global_map: VisualMap, frame_idx: int) -> GraphInput:
-        """Pull the newest frame's matches/points from the map and pad to the
-        static capacity (reference: Optimizer.py:24-38)."""
+    def _assemble(self, global_map: VisualMap, frame_idx: int) -> np.ndarray:
+        """Pull the newest frame's matches/points from the map into the packed
+        problem array (reference: Optimizer.py:24-38)."""
         frame = global_map.frames[frame_idx]
         obs = global_map.get_frame2match(frame)
         pts = global_map.get_match2point(obs)
@@ -70,48 +106,45 @@ class TwoFrame_PGO(IOptimizer[GraphInput, GraphOutput]):
         if n > cap:
             raise ValueError(f"TwoFrame_PGO: {n} observations exceed capacity {cap}")
 
-        def pad(arr: np.ndarray, fill: float = 0.0) -> np.ndarray:
-            out = np.full((cap,) + arr.shape[1:], fill, dtype=np.float64)
-            out[:n] = arr
-            return out
-
+        dt = self.np_dtype
+        packed = np.zeros((cap + 1, 33), dtype=dt)
         K = frame.data["K"][0].astype(np.float64)
         kp2 = obs.data["pixel2_uv"].astype(np.float64)
         d2 = obs.data["pixel2_d"][:, 0].astype(np.float64)
-        # NED backprojection in host numpy — building the problem is pure
-        # bookkeeping; the device sees ONE device_put of the whole block.
-        y = (kp2[:, 0] - K[0, 2]) * d2 / K[0, 0]
-        z = (kp2[:, 1] - K[1, 2]) * d2 / K[1, 1]
-        points_c = np.stack([d2, y, z], axis=1)
-        cov_kp2 = np.zeros((n, 2, 2))
-        cov_kp2[:, 0, 0] = obs.data["pixel2_uv_cov"][:, 0]
-        cov_kp2[:, 1, 1] = obs.data["pixel2_uv_cov"][:, 1]
-        cov_kp2[:, 0, 1] = obs.data["pixel2_uv_cov"][:, 2]
-        cov_kp2[:, 1, 0] = obs.data["pixel2_uv_cov"][:, 2]
+        # NED backprojection of frame-1 observations (host).
+        packed[:n, 3] = d2
+        packed[:n, 4] = (kp2[:, 0] - K[0, 2]) * d2 / K[0, 0]
+        packed[:n, 5] = (kp2[:, 1] - K[1, 2]) * d2 / K[1, 1]
+        packed[:n, 0:3] = pts.data["pos_Tw"]
+        packed[:n, 6:8] = kp2
+        packed[:n, 8] = obs.data["pixel2_disp"][:, 0]
+        packed[:n, 9:18] = obs.data["obs2_covTc"].reshape(n, 9)
+        packed[:n, 18:27] = pts.data["cov_Tw"].reshape(n, 9)
+        uv_cov = obs.data["pixel2_uv_cov"]
+        packed[:n, 27] = uv_cov[:, 0]
+        packed[:n, 28] = uv_cov[:, 2]
+        packed[:n, 29] = uv_cov[:, 2]
+        packed[:n, 30] = uv_cov[:, 1]
+        packed[:n, 31] = obs.data["pixel2_disp_cov"][:, 0]
+        packed[n:cap, 8] = 1.0      # harmless disparity for padded rows
+        packed[n:cap, 31] = 1.0
+        packed[:n, 32] = 1.0        # validity mask
+        packed[cap, 0:7] = frame.data["pose"][0]
+        packed[cap, 7:11] = (K[0, 0], K[1, 1], K[0, 2], K[1, 2])
+        packed[cap, 11] = frame.data["baseline"][0]
+        return packed
 
-        mask = np.zeros((cap,), dtype=bool)
-        mask[:n] = True
-        np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
-        data_host = TwoFrameData(
-            pose0=frame.data["pose"][0].astype(np_dt),
-            points_w=pad(pts.data["pos_Tw"]).astype(np_dt),
-            points_c=pad(points_c).astype(np_dt),
-            kp2=pad(kp2).astype(np_dt),
-            disp2=pad(obs.data["pixel2_disp"][:, 0], fill=1.0).astype(np_dt),
-            cov_obs_c=pad(obs.data["obs2_covTc"]).astype(np_dt),
-            cov_pts_w=pad(pts.data["cov_Tw"]).astype(np_dt),
-            cov_kp2=pad(cov_kp2).astype(np_dt),
-            disp2_cov=pad(obs.data["pixel2_disp_cov"][:, 0], fill=1.0).astype(np_dt),
-            K=K.astype(np_dt),
-            baseline=np.asarray(frame.data["baseline"][0], np_dt),
-            mask=mask,
+    def get_graph_data(self, global_map: VisualMap, frame_idx: int) -> GraphInput:
+        return GraphInput(
+            frame_idx=frame_idx, from_idx=frame_idx - 1,
+            packed=self._assemble(global_map, frame_idx),
         )
-        data = jax.device_put(data_host)
-        return GraphInput(frame_idx=frame_idx, from_idx=frame_idx - 1, data=data)
 
     def _optimize(self, context: Any, graph_data: GraphInput) -> tuple[Any, GraphOutput]:
         with timer.cpu_time("TwoframePGO.dispatch"):
-            pose = solve_two_frame(graph_data.data, graph_type=context["graph_type"])
+            pose = solve_two_frame_packed(
+                graph_data.packed, graph_type=context["graph_type"]
+            )
         return context, GraphOutput(
             frame_idx=graph_data.frame_idx, from_idx=graph_data.from_idx, pose=pose
         )
@@ -135,27 +168,32 @@ class Local_TwoFrame_PGO(TwoFrame_PGO):
     """Re-anchor the solve in the previous keyframe's frame
     (reference: Optimizer.py:111-150): points and covariances are transformed
     by T_w2o before the solve and the result is mapped back — keeps the
-    problem well-conditioned in km-scale scenes and makes f32 sufficient."""
+    problem well-conditioned in km-scale scenes and makes f32 sufficient.
+    All re-anchoring math is host numpy (the packed array is host-side)."""
 
     def get_graph_data(self, global_map: VisualMap, frame_idx: int) -> GraphInput:
         gi = super().get_graph_data(global_map, frame_idx)
-        anchor = jnp.asarray(
-            global_map.frames.data["pose"][frame_idx - 1], self.dtype
-        )
+        anchor = global_map.frames.data["pose"][frame_idx - 1].astype(np.float64)
         self._T_o2w = anchor
-        T_w2o = se3.inv(anchor)
-        R = se3.rotmat(T_w2o)
-        d = gi.data
-        gi.data = d._replace(
-            pose0=se3.mul(T_w2o, d.pose0),
-            points_w=se3.act(T_w2o, d.points_w),
-            cov_pts_w=jnp.einsum("ij,njk,lk->nil", R, d.cov_pts_w, R),
-        )
+        T_w2o = _np_pose_inv(anchor)
+        R = _np_quat_rotmat(T_w2o[3:7])
+
+        cap = self.capacity
+        p = gi.packed
+        pts_w = p[:cap, 0:3].astype(np.float64)
+        p[:cap, 0:3] = (pts_w @ R.T + T_w2o[:3]) * p[:cap, 32:33]
+        covs = p[:cap, 18:27].reshape(cap, 3, 3).astype(np.float64)
+        p[:cap, 18:27] = np.einsum("ij,njk,lk->nil", R, covs, R).reshape(cap, 9)
+        p[cap, 0:7] = _np_pose_mul(T_w2o, p[cap, 0:7].astype(np.float64))
         return gi
 
     def _optimize(self, context: Any, graph_data: GraphInput) -> tuple[Any, GraphOutput]:
         context, out = super()._optimize(context, graph_data)
-        out.pose = se3.normalize(se3.mul(self._T_o2w, out.pose))
+        # Map the local-frame solution back to world — tiny async device ops.
+        from ..geometry import se3
+
+        anchor = jnp.asarray(self._T_o2w, out.pose.dtype)
+        out.pose = se3.normalize(se3.mul(anchor, out.pose))
         return context, out
 
 
@@ -163,8 +201,9 @@ class Empty_TwoFrame_PGO(TwoFrame_PGO):
     """No-op optimizer for debugging (reference: Optimizer.py:153-161)."""
 
     def _optimize(self, context: Any, graph_data: GraphInput) -> tuple[Any, GraphOutput]:
+        cap = graph_data.packed.shape[0] - 1
         return context, GraphOutput(
             frame_idx=graph_data.frame_idx,
             from_idx=graph_data.from_idx,
-            pose=graph_data.data.pose0,
+            pose=jnp.asarray(graph_data.packed[cap, 0:7], jnp.float32),
         )

@@ -41,6 +41,22 @@ from .interface import IOdometry
 
 MIN_NUM_POINT = 10  # lost-track threshold (reference: Odometry/MACVO.py:64)
 
+# Packed per-frame sync layout: ONE (K+1, 52) float32 array carries everything
+# the host needs — a tuple of ~25 small arrays costs ~25 link round-trips on a
+# remote TPU (measured 705 ms/frame); one array costs one.
+OBS_LAYOUT: list[tuple[str, int]] = [
+    ("pixel1_uv", 2), ("pixel2_uv", 2), ("pixel1_d", 1), ("pixel2_d", 1),
+    ("pixel1_disp", 1), ("pixel2_disp", 1), ("pixel1_disp_cov", 1),
+    ("pixel2_disp_cov", 1), ("pixel1_uv_cov", 3), ("pixel2_uv_cov", 3),
+    ("pixel1_d_cov", 1), ("pixel2_d_cov", 1), ("obs1_covTc", 9), ("obs2_covTc", 9),
+]
+_OBS_WIDTH = sum(w for _, w in OBS_LAYOUT)           # 36
+_COL_KEEP = _OBS_WIDTH                                # 36
+_COL_POS = (_COL_KEEP + 1, _COL_KEEP + 4)             # 37:40 pos0_Tw
+_COL_COV = (_COL_POS[1], _COL_POS[1] + 9)             # 40:49 cov0_Tw
+_COL_COLOR = (_COL_COV[1], _COL_COV[1] + 3)           # 49:52 color
+PACKED_SYNC_WIDTH = _COL_COLOR[1]                     # 52
+
 
 class MACVO(IOdometry[StereoFrame], ConfigTestable):
     T_SYSHOOK = Callable[["MACVO"], None]
@@ -171,7 +187,7 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         per-stage syncs (and is what the 30 ms-per-op remote-TPU link demands).
         """
 
-        def core(imageL0, depth0, depth1, match01, prev_pose, key):
+        def core(imageL0, depth0, depth1, match01, prev_pose, est_pose, key):
             stereo0 = dataclasses.replace(meta0, imageL=imageL0)
             kp0_uv, valid = self.KeypointSelector.select_point(
                 stereo0, self.num_point, depth0, depth1, match01, key=key
@@ -242,9 +258,39 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
             pos0_Tw = se3.act(prev_pose, pos0_Tc)
             cov0_Tw = jnp.einsum("ij,njk,lk->nil", prev_rot, pos0_covTc, prev_rot)
 
-            return obs, keep, pos0_Tw, cov0_Tw, kp0_color
+            # Pack everything into one (K+1, 52) f32 array (see OBS_LAYOUT).
+            cols = [obs[name].reshape(n_kp, -1).astype(jnp.float32) for name, _ in OBS_LAYOUT]
+            cols.append(keep[:, None].astype(jnp.float32))
+            cols.append(pos0_Tw.astype(jnp.float32))
+            cols.append(cov0_Tw.reshape(n_kp, 9).astype(jnp.float32))
+            cols.append(kp0_color.astype(jnp.float32))
+            packed = jnp.concatenate(cols, axis=-1)
+            aux = jnp.zeros((1, PACKED_SYNC_WIDTH), jnp.float32)
+            aux = aux.at[0, 0:7].set(est_pose.astype(jnp.float32))
+            aux = aux.at[0, 7:14].set(prev_pose.astype(jnp.float32))
+            return jnp.concatenate([packed, aux], axis=0)
 
         return jax.jit(core)
+
+    @staticmethod
+    def _unpack_sync(packed: np.ndarray):
+        """Host-side inverse of the core's packing."""
+        n = packed.shape[0] - 1
+        obs = {}
+        offset = 0
+        for name, width in OBS_LAYOUT:
+            col = packed[:n, offset : offset + width]
+            if name.endswith("covTc"):
+                col = col.reshape(n, 3, 3).astype(np.float64)
+            obs[name] = col
+            offset += width
+        keep = packed[:n, _COL_KEEP] > 0.5
+        pos0_Tw = packed[:n, _COL_POS[0] : _COL_POS[1]]
+        cov0_Tw = packed[:n, _COL_COV[0] : _COL_COV[1]].reshape(n, 3, 3).astype(np.float64)
+        color = packed[:n, _COL_COLOR[0] : _COL_COLOR[1]].astype(np.uint8)
+        est_pose = packed[n, 0:7].astype(np.float32)
+        prev_pose = packed[n, 7:14].astype(np.float32)
+        return obs, keep, pos0_Tw, cov0_Tw, color, est_pose, prev_pose
 
     def run_pair(self, frame0: StereoFrame, frame1: StereoFrame) -> None:
         assert self.prev_keyframe is not None
@@ -261,18 +307,20 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         with timer.cpu_time("Frontend.estimate"):
             depth1, match01 = self.Frontend.estimate_pair(frame0.stereo, frame1.stereo)
 
-        # Consume the previous frame's optimization BEFORE registering new
-        # points on it (reference: MACVO.py:185-190).
-        self.Optimizer.write_map(self.graph)
-        for hook in self.on_optimize_writeback:
-            hook(self)
+        # Consume the previous frame's optimized pose DEVICE-SIDE: no download
+        # here; the host map copy is refreshed from this frame's packed sync.
+        pending = self.Optimizer.take_pending()
+        if pending is not None:
+            assert pending.frame_idx == prev_idx
+            prev_pose_dev = jnp.asarray(pending.pose, jnp.float32)
+        else:
+            prev_pose_dev = jnp.asarray(self.graph.frames.data["pose"][prev_idx])
 
-        prev_pose_np = self.graph.frames.data["pose"][prev_idx]
-        # Small-pose bookkeeping runs on the host CPU backend — a handful of
-        # (7,)-sized ops is pure dispatch latency on the accelerator.
-        with jax.default_device(jax.devices("cpu")[0]):
-            self.MotionEstimator.update(jnp.asarray(prev_pose_np))
-            est_pose = self.MotionEstimator.predict(frame1, match01.flow, depth1.depth)
+        self.MotionEstimator.update(prev_pose_dev)
+        est_pose_dev = jnp.asarray(
+            self.MotionEstimator.predict(frame1, match01.flow, depth1.depth),
+            jnp.float32,
+        ).reshape(7)
 
         shape_key = (frame0.stereo.height, frame0.stereo.width)
         if shape_key not in self._pipeline_cache:
@@ -283,25 +331,30 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         key = jax.random.fold_in(self._rng_key, 2 * self._frame_count)
 
         with timer.cpu_time("KP pipeline"):
-            obs_dev, keep_dev, pos0_Tw_dev, cov0_Tw_dev, color_dev = \
-                self._pipeline_cache[shape_key](
-                    frame0.stereo.imageL, depth0, depth1, match01,
-                    jnp.asarray(prev_pose_np), key,
-                )
-
-        # -- THE host sync: one bulk transfer, then compact and register ------
-        with timer.cpu_time("Map sync"):
-            obs_np, keep_np, pos0_Tw, cov0_Tw, kp0_color = jax.device_get(
-                (obs_dev, keep_dev, pos0_Tw_dev, cov0_Tw_dev, color_dev)
+            packed_dev = self._pipeline_cache[shape_key](
+                frame0.stereo.imageL, depth0, depth1, match01,
+                prev_pose_dev, est_pose_dev, key,
             )
+
+        # -- THE host sync: ONE packed transfer per frame ---------------------
+        with timer.cpu_time("Map sync"):
+            packed = np.asarray(packed_dev)
+        obs_np, keep_np, pos0_Tw, cov0_Tw, kp0_color, est_pose, prev_pose_host = \
+            self._unpack_sync(packed)
+
+        # Backfill the optimized pose into the host map + fire hooks
+        # (the reference's write_map point, Odometry/MACVO.py:185-190).
+        if pending is not None:
+            self.graph.frames.data["pose"][pending.frame_idx] = prev_pose_host
+        for hook in self.on_optimize_writeback:
+            hook(self)
+
         obs_np = {k: v[keep_np] for k, v in obs_np.items()}
-        obs_np["obs1_covTc"] = obs_np["obs1_covTc"].astype(np.float64)
-        obs_np["obs2_covTc"] = obs_np["obs2_covTc"].astype(np.float64)
         n_obs = int(keep_np.sum())
 
         point_idx = self.graph.points.push({
             "pos_Tw": pos0_Tw[keep_np],
-            "cov_Tw": cov0_Tw[keep_np].astype(np.float64),
+            "cov_Tw": cov0_Tw[keep_np],
             "color": kp0_color[keep_np],
         })
         num_match_orig = len(self.graph.match)
@@ -326,7 +379,7 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
 
         # Dense mapping points (reference: MACVO.py:313-337).
         if self.mapping:
-            self._push_mapping_points(frame0, frame_idx, depth0, depth1, match01, prev_pose_np)
+            self._push_mapping_points(frame0, frame_idx, depth0, depth1, match01, prev_pose_dev)
 
     def _mapping_core(self, meta0: StereoData):
         """Fused (jitted) dense-mapping point pipeline."""
@@ -347,28 +400,35 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
                 stereo0, map_f, depth0,
                 map_sigma_dd[:, 0] if map_sigma_dd is not None else None, map_sigma_uv,
             )
-            map_color = (retrieve_pixels(map_uv, imageL0) * 255.0).astype(jnp.uint8)
+            map_color = retrieve_pixels(map_uv, imageL0) * 255.0
             map_Tw = se3.act(prev_pose, map_Tc)
-            return map_valid, map_Tw, map_cov_Tc, map_color
+            n_pts = map_uv.shape[0]
+            return jnp.concatenate([
+                map_valid[:, None].astype(jnp.float32),
+                map_Tw.astype(jnp.float32),
+                map_cov_Tc.reshape(n_pts, 9).astype(jnp.float32),
+                map_color.astype(jnp.float32),
+            ], axis=-1)
 
         return jax.jit(core)
 
-    def _push_mapping_points(self, frame0, frame_idx, depth0, depth1, match01, prev_pose_np):
+    def _push_mapping_points(self, frame0, frame_idx, depth0, depth1, match01, prev_pose_dev):
         cache_key = ("mapping", frame0.stereo.height, frame0.stereo.width)
         if cache_key not in self._pipeline_cache:
             self._pipeline_cache[cache_key] = self._mapping_core(frame0.stereo)
         key = jax.random.fold_in(self._rng_key, 2 * self._frame_count + 1)
-        valid_np, map_Tw, map_cov_Tc, map_color = jax.device_get(
+        # One packed (M,16) transfer: valid | pos_Tw 3 | cov_Tw 9 | color 3.
+        packed = np.asarray(
             self._pipeline_cache[cache_key](
-                frame0.stereo.imageL, depth0, depth1, match01,
-                jnp.asarray(prev_pose_np), key,
+                frame0.stereo.imageL, depth0, depth1, match01, prev_pose_dev, key,
             )
         )
+        valid_np = packed[:, 0] > 0.5
         num_map_orig = len(self.graph.map_points)
         self.graph.map_points.push({
-            "pos_Tw": map_Tw[valid_np],
-            "cov_Tw": map_cov_Tc[valid_np].astype(np.float64),
-            "color": map_color[valid_np],
+            "pos_Tw": packed[valid_np, 1:4],
+            "cov_Tw": packed[valid_np, 4:13].reshape(-1, 3, 3).astype(np.float64),
+            "color": packed[valid_np, 13:16].astype(np.uint8),
         })
         self.graph.frame2map.add(
             np.array([frame_idx]), np.array([num_map_orig]), np.array([int(valid_np.sum())])

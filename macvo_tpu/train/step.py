@@ -55,17 +55,28 @@ def trainable_mask(params: Any, training_mode: str) -> Any:
 
 
 def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformation:
-    schedule = optax.linear_onecycle_schedule(
-        transition_steps=cfg.num_steps,
-        peak_value=cfg.lr,
-        pct_start=cfg.warmup_frac,
-    )
+    if cfg.num_steps >= 20:
+        # Guard the warmup fraction so no schedule interval rounds to zero
+        # length (optax's piecewise interpolation divides by interval length).
+        pct_start = max(cfg.warmup_frac, 2.0 / cfg.num_steps)
+        schedule = optax.linear_onecycle_schedule(
+            transition_steps=cfg.num_steps,
+            peak_value=cfg.lr,
+            pct_start=pct_start,
+        )
+    else:  # tiny smoke runs: constant lr
+        schedule = cfg.lr
     opt = optax.chain(
         optax.clip_by_global_norm(cfg.clip),
         optax.adamw(schedule, weight_decay=cfg.weight_decay, eps=1e-8),
     )
     mask = trainable_mask(params, cfg.training_mode)
-    return optax.masked(opt, mask)
+    # multi_transform, NOT optax.masked: masked passes raw gradients through
+    # for the unmasked leaves — frozen parameters must get zero updates.
+    labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask)
+    return optax.multi_transform(
+        {"train": opt, "freeze": optax.set_to_zero()}, labels
+    )
 
 
 @dataclasses.dataclass
@@ -104,7 +115,9 @@ def make_train_step(model: FlowFormerCov, opt: optax.GradientTransformation, cfg
 
     def loss_fn(params, batch):
         out = model.apply({"params": params}, batch["img1"], batch["img2"])
-        cov_var = jnp.exp(2.0 * out["cov_predictions"])  # head regresses log-sigma
+        # Head regresses log-sigma; clamp it so an untrained flow branch (huge
+        # errors / tiny predicted variance) cannot overflow the NLL to inf.
+        cov_var = jnp.exp(2.0 * jnp.clip(out["cov_predictions"], -8.0, 8.0))
         loss, metrics = sequence_loss(
             out["flow_predictions"], cov_var, batch["gt_flow"], batch.get("flow_mask"),
             gamma=cfg.gamma, max_flow=cfg.max_flow, training_mode=cfg.training_mode,
