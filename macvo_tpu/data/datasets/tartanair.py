@@ -26,6 +26,15 @@ from ..sequence import SequenceBase
 
 
 def load_image(path: Path) -> np.ndarray:
+    """(1,H,W,3) float32 RGB in [0,1]. PNGs go through the native C++ decode
+    engine when available (macvo_tpu/native — GIL-free threaded libpng);
+    anything else (or a failed native decode) falls back to cv2."""
+    if path.suffix == ".png":
+        from ... import native
+
+        decoded = native.decode_png(path)
+        if decoded is not None:
+            return decoded[None]
     bgr = cv2.imread(str(path), cv2.IMREAD_COLOR)
     if bgr is None:
         raise FileNotFoundError(f"Unreadable image: {path}")

@@ -175,6 +175,24 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
             assert self.prev_keyframe is not None
             self.run_pair(self.prev_keyframe[0], frame)
 
+    @staticmethod
+    def _host_meta(stereo: StereoData) -> StereoData:
+        """Snapshot a frame's calibration as HOST numpy so intrinsics access
+        (frame.fx etc.) stays concrete at trace time even when the sequence
+        device-stages its frames (DevicePrefetcher / bench)."""
+        # Zero-channel placeholder keeps height/width readable without pinning
+        # image data into the trace closure.
+        shape_only = np.empty((1, stereo.height, stereo.width, 0), np.float32)
+        return dataclasses.replace(
+            stereo,
+            K=np.asarray(stereo.K),
+            baseline=np.asarray(stereo.baseline),
+            T_BS=np.asarray(stereo.T_BS),
+            time_ns=np.asarray(stereo.time_ns),
+            imageL=shape_only, imageR=shape_only,
+            gt_flow=None, flow_mask=None, gt_depth=None,
+        )
+
     def _pipeline_core(self, meta0: StereoData, meta1: StereoData):
         """Build the traceable per-frame keypoint pipeline.
 
@@ -186,6 +204,8 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         dispatch + one bulk device_get per frame replaces the reference's many
         per-stage syncs (and is what the 30 ms-per-op remote-TPU link demands).
         """
+        meta0 = self._host_meta(meta0)
+        meta1 = self._host_meta(meta1)
 
         def core(imageL0, depth0, depth1, match01, prev_pose, est_pose, key):
             stereo0 = dataclasses.replace(meta0, imageL=imageL0)
@@ -383,6 +403,7 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
 
     def _mapping_core(self, meta0: StereoData):
         """Fused (jitted) dense-mapping point pipeline."""
+        meta0 = self._host_meta(meta0)
 
         def core(imageL0, depth0, depth1, match01, prev_pose, key):
             stereo0 = dataclasses.replace(meta0, imageL=imageL0)
