@@ -14,9 +14,19 @@ runtime is weight-independent (static shapes, fixed iteration counts).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compilation cache: the full 480x640 pipeline compiles in ~15 min
+# on a fresh process; cached compiles load in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/macvo_jax_cache")
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def build_odometry(width: int, height: int):
