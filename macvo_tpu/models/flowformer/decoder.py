@@ -73,17 +73,49 @@ def encode_flow_token(cost_maps: jnp.ndarray, coords: jnp.ndarray, radius: int =
     current target coords -> (B, H1, W1, (2r+1)^2), fp32.
 
     cost_maps: (B, H1*W1, H2, W2); coords: (B, H1, W1, 2).
+
+    TPU-friendly formulation: instead of 4 scattered gathers per displacement
+    (4*(2r+1)^2 random accesses per pixel), ONE aligned (2r+2)^2 window is cut
+    per pixel with a vmapped ``dynamic_slice`` (contiguous-row access XLA can
+    vectorize) and all bilinear taps are produced from four shifted views of
+    that window — pure VPU arithmetic. This is the reference's fp32-pinned
+    ``encode_flow_token`` (covhead.py:90-93) rebuilt as the "tiled cost
+    sampling" kernel the BASELINE names.
     """
     b, n1, h2, w2 = cost_maps.shape
     h1, w1 = coords.shape[1], coords.shape[2]
     r = radius
     k = 2 * r + 1
-    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    offsets = jnp.stack(jnp.meshgrid(dx, dx, indexing="xy"), axis=-1).reshape(k * k, 2)
-    centers = coords.reshape(b * n1, 1, 2).astype(jnp.float32)
-    pts = centers + offsets[None]
-    maps = cost_maps.reshape(b * n1, h2, w2, 1)
-    vals = bilinear_sample(maps, pts)[..., 0]                 # (B*N1, k*k)
+    win = k + 1
+
+    maps = cost_maps.reshape(b * n1, h2, w2).astype(jnp.float32)
+    centers = coords.reshape(b * n1, 2).astype(jnp.float32)
+    # Top-left integer corner of the sampling window.
+    x0 = jnp.floor(centers[:, 0]) - r
+    y0 = jnp.floor(centers[:, 1]) - r
+    wx = (centers[:, 0] - jnp.floor(centers[:, 0]))[:, None, None]
+    wy = (centers[:, 1] - jnp.floor(centers[:, 1]))[:, None, None]
+
+    # Pad so every window (even fully out of bounds) slices validly with the
+    # same zero-padding semantics as grid_sample.
+    pad = win
+    padded = jnp.pad(maps, ((0, 0), (pad, pad), (pad, pad)))
+    yi = jnp.clip(y0.astype(jnp.int32) + pad, 0, h2 + pad)
+    xi = jnp.clip(x0.astype(jnp.int32) + pad, 0, w2 + pad)
+
+    windows = jax.vmap(
+        lambda m, y, x: jax.lax.dynamic_slice(m, (y, x), (win, win))
+    )(padded, yi, xi)                                          # (B*N1, win, win)
+
+    # Bilinear interpolation of all k*k taps from the aligned window.
+    tl = windows[:, :k, :k]
+    tr = windows[:, :k, 1:]
+    bl = windows[:, 1:, :k]
+    br = windows[:, 1:, 1:]
+    vals = (
+        tl * (1 - wx) * (1 - wy) + tr * wx * (1 - wy)
+        + bl * (1 - wx) * wy + br * wx * wy
+    )
     return vals.reshape(b, h1, w1, k * k)
 
 

@@ -27,6 +27,17 @@ class IMapProcessor(RegisteredConfigTestable, register=False):
         raise NotImplementedError
 
 
+class Naive(IMapProcessor):
+    """No-op processor (reference baseline usage, Odometry/BaselineTartanVO.py:22)."""
+
+    def elaborate_map(self, frames: Store) -> np.ndarray:
+        return np.zeros((0,), dtype=np.int64)
+
+    @classmethod
+    def is_valid_config(cls, config) -> None:
+        return
+
+
 class PoseInterpolate(IMapProcessor):
     """se3-geodesic interpolation of lost-track poses from good neighbours
     (reference: MapProcessor.py:28-49)."""

@@ -2,5 +2,6 @@
 
 from .interface import IOdometry
 from .macvo import MACVO
+from .baseline_tartanvo import TartanVO
 
-__all__ = ["IOdometry", "MACVO"]
+__all__ = ["IOdometry", "MACVO", "TartanVO"]
