@@ -251,15 +251,21 @@ class MaskHead(nn.Module):
 
 class DecoderIteration(nn.Module):
     """One decoder step: cost lookup -> cross-attn -> GMA -> twin GRUs ->
-    fp32 convex upsample of flow and cov (covhead.py:85-135)."""
+    fp32 convex upsample of flow and cov (covhead.py:85-135).
+
+    ``upsample_every_iter=False`` (inference) skips the per-iteration full-res
+    upsampling — only the final prediction is consumed at inference
+    (covhead.py:137-140 returns the last element anyway), so the scan carries
+    the upsample masks instead and the caller upsamples once."""
 
     query_latent_dim: int = 64
     cost_latent_dim: int = 128
     dtype: Any = jnp.float32
+    upsample_every_iter: bool = True
 
     @nn.compact
     def __call__(self, carry, invariants):
-        flow_coords1, cov_coords1, flow_net, fcov_net = carry
+        flow_coords1, cov_coords1, flow_net, fcov_net, _, _ = carry
         coords0 = invariants["coords0"]
         cost_maps = invariants["cost_maps"]
         flow_inp = invariants["flow_inp"]
@@ -301,10 +307,13 @@ class DecoderIteration(nn.Module):
 
         flow_coords1 = flow_coords1 + delta_flow
         cov_coords1 = cov_coords1 + delta_cov
-        flow_up = upsample_convex(flow_coords1 - coords0, up_mask)
-        cov_up = upsample_convex(cov_coords1 - coords0, cmask)
-
-        return (flow_coords1, cov_coords1, flow_net, fcov_net), (flow_up, cov_up)
+        if self.upsample_every_iter:
+            flow_up = upsample_convex(flow_coords1 - coords0, up_mask)
+            cov_up = upsample_convex(cov_coords1 - coords0, cmask)
+            out = (flow_up, cov_up)
+        else:
+            out = ()
+        return (flow_coords1, cov_coords1, flow_net, fcov_net, up_mask, cmask), out
 
 
 class MemoryCovDecoder(nn.Module):
@@ -315,6 +324,7 @@ class MemoryCovDecoder(nn.Module):
     query_latent_dim: int = 64
     cost_latent_dim: int = 128
     dtype: Any = jnp.float32       # decoder compute dtype (bf16 in fast mode)
+    inference_only: bool = False   # skip per-iteration upsampling stacks
 
     @nn.compact
     def __call__(self, cost_memory, context, cost_maps):
@@ -347,14 +357,28 @@ class MemoryCovDecoder(nn.Module):
             out_axes=0,
             length=self.decoder_depth,
         )
-        init = (coords0, coords0, flow_net0, flow_net0)
-        (flow_coords1, cov_coords1, _, _), (flow_ups, cov_ups) = ScannedIteration(
+        zero_mask = jnp.zeros((b, h1, w1, 64 * 9), jnp.float32)
+        init = (coords0, coords0, flow_net0, flow_net0, zero_mask, zero_mask)
+        carry, ys = ScannedIteration(
             query_latent_dim=self.query_latent_dim,
             cost_latent_dim=self.cost_latent_dim,
             dtype=dt,
+            upsample_every_iter=not self.inference_only,
             name="iteration",
         )(init, invariants)
+        flow_coords1, cov_coords1, _, _, up_mask, cmask = carry
 
+        if self.inference_only:
+            flow_up = upsample_convex(flow_coords1 - coords0, up_mask)
+            cov_up = upsample_convex(cov_coords1 - coords0, cmask)
+            return {
+                "flow_final": flow_up,
+                "cov_final": cov_up,
+                "flow_lowres": flow_coords1 - coords0,
+                "cov_lowres": cov_coords1 - coords0,
+            }
+
+        flow_ups, cov_ups = ys
         return {
             "flow_predictions": flow_ups,          # (depth, B, 8H, 8W, 2)
             "cov_predictions": cov_ups,

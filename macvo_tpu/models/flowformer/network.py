@@ -48,6 +48,10 @@ class FlowFormerConfig:
     # TPU dtype policy ("fp32" | "bf16")
     encoder_dtype: str = "fp32"
     decoder_dtype: str = "fp32"
+    # Inference mode: skip the per-iteration upsample stacks (training needs
+    # them for the gamma-weighted sequence loss; odometry consumes only the
+    # final prediction).
+    inference_only: bool = False
 
 
 def _dtype(name: str):
@@ -93,6 +97,7 @@ class FlowFormerCov(nn.Module):
             query_latent_dim=cfg.query_latent_dim,
             cost_latent_dim=cfg.cost_latent_dim,
             dtype=dec_dt,
+            inference_only=cfg.inference_only,
             name="memory_decoder",
         )(cost_memory, context, cost_maps)
 
