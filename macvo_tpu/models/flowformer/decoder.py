@@ -74,48 +74,39 @@ def encode_flow_token(cost_maps: jnp.ndarray, coords: jnp.ndarray, radius: int =
 
     cost_maps: (B, H1*W1, H2, W2); coords: (B, H1, W1, 2).
 
-    TPU-friendly formulation: instead of 4 scattered gathers per displacement
-    (4*(2r+1)^2 random accesses per pixel), ONE aligned (2r+2)^2 window is cut
-    per pixel with a vmapped ``dynamic_slice`` (contiguous-row access XLA can
-    vectorize) and all bilinear taps are produced from four shifted views of
-    that window — pure VPU arithmetic. This is the reference's fp32-pinned
-    ``encode_flow_token`` (covhead.py:90-93) rebuilt as the "tiled cost
-    sampling" kernel the BASELINE names.
+    TPU-native formulation — sampling as MATMUL, zero gathers: bilinear
+    interpolation along each axis is a sparse linear map, materialized as
+    per-pixel tri-weight ("tent") matrices W_y (N,H2,k) and W_x (N,W2,k):
+
+        out_i = W_y_i^T @ cost_i @ W_x_i       (two batched einsums, MXU)
+
+    A tent weight relu(1 - |grid - pos|) puts exactly the two bilinear
+    coefficients on the neighboring rows/columns, and positions outside the
+    map get zero weight — identical semantics to zero-padded grid_sample.
+    This replaces the reference's fp32-pinned ``encode_flow_token``
+    (covhead.py:90-93): per-pixel windowed gathers are the single most
+    TPU-hostile op in the decoder loop; as matmuls the whole 12-iteration
+    sampling costs ~2 GFLOP/iter of MXU time.
     """
     b, n1, h2, w2 = cost_maps.shape
     h1, w1 = coords.shape[1], coords.shape[2]
     r = radius
     k = 2 * r + 1
-    win = k + 1
+    n = b * n1
 
-    maps = cost_maps.reshape(b * n1, h2, w2).astype(jnp.float32)
-    centers = coords.reshape(b * n1, 2).astype(jnp.float32)
-    # Top-left integer corner of the sampling window.
-    x0 = jnp.floor(centers[:, 0]) - r
-    y0 = jnp.floor(centers[:, 1]) - r
-    wx = (centers[:, 0] - jnp.floor(centers[:, 0]))[:, None, None]
-    wy = (centers[:, 1] - jnp.floor(centers[:, 1]))[:, None, None]
+    maps = cost_maps.reshape(n, h2, w2).astype(jnp.float32)
+    centers = coords.reshape(n, 2).astype(jnp.float32)
+    offsets = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    pos_y = centers[:, 1:2] + offsets[None]                    # (N, k)
+    pos_x = centers[:, 0:1] + offsets[None]
 
-    # Pad so every window (even fully out of bounds) slices validly with the
-    # same zero-padding semantics as grid_sample.
-    pad = win
-    padded = jnp.pad(maps, ((0, 0), (pad, pad), (pad, pad)))
-    yi = jnp.clip(y0.astype(jnp.int32) + pad, 0, h2 + pad)
-    xi = jnp.clip(x0.astype(jnp.int32) + pad, 0, w2 + pad)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (1, h2, 1), 1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (1, w2, 1), 1)
+    w_y = jnp.maximum(0.0, 1.0 - jnp.abs(rows - pos_y[:, None, :]))   # (N, H2, k)
+    w_x = jnp.maximum(0.0, 1.0 - jnp.abs(cols - pos_x[:, None, :]))   # (N, W2, k)
 
-    windows = jax.vmap(
-        lambda m, y, x: jax.lax.dynamic_slice(m, (y, x), (win, win))
-    )(padded, yi, xi)                                          # (B*N1, win, win)
-
-    # Bilinear interpolation of all k*k taps from the aligned window.
-    tl = windows[:, :k, :k]
-    tr = windows[:, :k, 1:]
-    bl = windows[:, 1:, :k]
-    br = windows[:, 1:, 1:]
-    vals = (
-        tl * (1 - wx) * (1 - wy) + tr * wx * (1 - wy)
-        + bl * (1 - wx) * wy + br * wx * wy
-    )
+    tmp = jnp.einsum("ihw,iht->itw", maps, w_y, preferred_element_type=jnp.float32)
+    vals = jnp.einsum("itw,iwu->itu", tmp, w_x, preferred_element_type=jnp.float32)
     return vals.reshape(b, h1, w1, k * k)
 
 
