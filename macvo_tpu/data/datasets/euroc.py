@@ -110,3 +110,67 @@ class EuRoC(SequenceBase[StereoFrame]):
 
 class EuRoC_NoIMU(EuRoC):
     """Alias matching the reference registry name (EuRoC.py:68)."""
+
+
+class EuRoC_IMU(EuRoC):
+    """Stereo-inertial EuRoC sequence (reference: EuRoC_Sequence +
+    EurocIMULoader, EuRoC.py:29-63,256-330): frames additionally carry the
+    IMU samples and ground-truth kinematic states between consecutive camera
+    timestamps."""
+
+    def __init__(self, config) -> None:
+        super().__init__(config)
+        cfg = self.config_dict2ns(config)
+        root = Path(cfg.root)
+        raw = np.genfromtxt(root / "imu0" / "data.csv", delimiter=",", skip_header=1)
+        self._imu_time = raw[:, 0].astype(np.int64)
+        self._gyro = raw[:, 1:4].astype(np.float32)
+        self._acc = raw[:, 4:7].astype(np.float32)
+
+        gt = np.genfromtxt(
+            root / "state_groundtruth_estimate0" / "data.csv",
+            delimiter=",", skip_header=1,
+        )
+        self._gt_time = gt[:, 0].astype(np.int64)
+        self._gt_pos = gt[:, 1:4].astype(np.float32)
+        self._gt_rot = np.roll(gt[:, 4:8], shift=-1, axis=1).astype(np.float32)  # wxyz->xyzw
+        self._gt_vel = gt[:, 8:11].astype(np.float32)
+
+    def _imu_between(self, t0_ns: int, t1_ns: int):
+        from ..frame import AttitudeData, IMUData
+
+        lo, hi = np.searchsorted(self._imu_time, (t0_ns, t1_ns))
+        hi = max(hi, lo + 1)
+        sl = slice(lo, hi)
+        g_idx = np.clip(
+            np.searchsorted(self._gt_time, self._imu_time[sl]), 0, self._gt_time.size - 1
+        )
+        imu = IMUData(
+            time_ns=self._imu_time[None, sl],
+            acc=self._acc[None, sl],
+            gyro=self._gyro[None, sl],
+            gravity=np.array([[0.0, 0.0, 9.81]], dtype=np.float32),
+        )
+        att = AttitudeData(
+            time_ns=self._imu_time[None, sl],
+            gt_pos=self._gt_pos[None, g_idx],
+            gt_vel=self._gt_vel[None, g_idx],
+            gt_rot=self._gt_rot[None, g_idx],
+            init_pos=self._gt_pos[None, g_idx[0]],
+            init_vel=self._gt_vel[None, g_idx[0]],
+            init_rot=self._gt_rot[None, g_idx[0]],
+        )
+        return imu, att
+
+    def __getitem__(self, local_index: int):
+        from ..frame import StereoInertialFrame
+
+        frame = super().__getitem__(local_index)
+        index = self.get_index(local_index)
+        t1 = int(self.left.times_ns[index])
+        t0 = int(self.left.times_ns[max(index - 1, 0)])
+        imu, att = self._imu_between(t0, t1)
+        return StereoInertialFrame(
+            idx=frame.idx, stereo=frame.stereo, gt_pose=frame.gt_pose,
+            imu=imu, attitude=att,
+        )

@@ -65,7 +65,9 @@ def rectify_pair(
     T_LR = np.linalg.inv(right.T_BS) @ left.T_BS
     R1, R2, P1, P2, _, _, _ = cv2.stereoRectify(
         left.K, left.distortion, right.K, right.distortion, image_size,
-        T_LR[:3, :3], T_LR[:3, 3], flags=cv2.CALIB_ZERO_DISPARITY, alpha=-1,
+        np.ascontiguousarray(T_LR[:3, :3]),
+        np.ascontiguousarray(T_LR[:3, 3]).reshape(3, 1),
+        flags=cv2.CALIB_ZERO_DISPARITY, alpha=-1,
     )
     left.maps = cv2.initUndistortRectifyMap(
         left.K, left.distortion, R1, P1, image_size, cv2.CV_32FC1

@@ -117,13 +117,19 @@ class CostPerceiverEncoder(nn.Module):
         assert n1 == h1 * w1
 
         p = self.patch_size
-        x = cost_maps.reshape(b * n1, h2, w2, 1)
-        x = nn.Conv(
-            self.cost_latent_input_dim, (p, p), strides=(p, p), name="patch_embed"
-        )(x)
-        th, tw = x.shape[1], x.shape[2]
+        # Patchify as space-to-depth + Dense: a C_in=1 strided conv is the
+        # worst case for the MXU (im2col over one channel); an unfold-reshape
+        # feeds one large (N_tok, p*p) x (p*p, D) matmul instead.
+        pad_h = (-h2) % p
+        pad_w = (-w2) % p
+        x = cost_maps.reshape(b * n1, h2, w2)
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w)))
+        th, tw = (h2 + pad_h) // p, (w2 + pad_w) // p
         n_tok = th * tw
-        tokens = x.reshape(b * n1, n_tok, self.cost_latent_input_dim)
+        x = x.reshape(b * n1, th, p, tw, p).transpose(0, 1, 3, 2, 4)
+        patches = x.reshape(b * n1, n_tok, p * p)
+        tokens = nn.Dense(self.cost_latent_input_dim, name="patch_embed")(patches)
         # Linear positional encoding (cfg ``pe: linear``): a learned projection
         # of normalized patch-center coordinates — resolution-independent, so
         # one parameter set serves any input size (unlike a per-token table).
