@@ -33,7 +33,7 @@ def main() -> None:
     parser.add_argument("--timing", action="store_true", help="enable the profiler")
     args = parser.parse_args()
 
-    from macvo_tpu.data import SequenceBase, smart_transform
+    from macvo_tpu.data import DevicePrefetcher, SequenceBase, smart_transform
     from macvo_tpu.evaluation import evaluate_sandbox
     from macvo_tpu.odometry import MACVO
     from macvo_tpu.utils import timer
@@ -67,7 +67,10 @@ def main() -> None:
     MACVO.is_valid_config(odom_cfg.Odometry)
     system = MACVO.from_config(odom_cfg)
     Logger.info(f"Running {project_name} on {seq} -> {sandbox.folder}")
-    system.receive_frames(seq, saveto=sandbox)
+    # Stage frames onto the device one step ahead: decode + upload overlap the
+    # previous frame's compute (replaces the reference's thread preloader for
+    # streaming use, DataLoader/SequenceBase.py:78-95).
+    system.receive_frames(DevicePrefetcher(seq, depth=2), saveto=sandbox)
 
     if args.timing:
         timer.report()

@@ -290,10 +290,13 @@ class DecoderIteration(nn.Module):
 
         flow_net = SepConvGRU(128, dtype=dt, name="flow_gru")(flow_net, inp_cat)
         delta_flow = FlowHead(2, dtype=dt, name="flow_head")(flow_net).astype(jnp.float32)
-        up_mask = 0.25 * MaskHead(dtype=dt, name="flow_mask")(flow_net).astype(jnp.float32)
 
         fcov_net = SepConvGRU(128, dtype=dt, name="cov_gru")(fcov_net, inp_cat)
         delta_cov = CovHead(dtype=dt, name="cov_head")(fcov_net).astype(jnp.float32)
+
+        # Mask heads run every iteration in BOTH modes so the parameter tree
+        # is identical between training and inference checkpoints.
+        up_mask = 0.25 * MaskHead(dtype=dt, name="flow_mask")(flow_net).astype(jnp.float32)
         cmask = 0.25 * MaskHead(dtype=dt, name="cov_mask")(fcov_net).astype(jnp.float32)
 
         flow_coords1 = flow_coords1 + delta_flow

@@ -74,9 +74,11 @@ class FlowFormerCov(nn.Module):
 
         context = TwinsSVT(name="context_encoder")(image1)
 
+        # One fnet pass over the doubled batch instead of two half-size passes
+        # (fewer launches, better MXU utilization at small spatial sizes).
         fnet = TwinsSVT(name="feature_encoder")
-        feat1 = fnet(image1)
-        feat2 = fnet(image2)
+        feats = fnet(jnp.concatenate([image1, image2], axis=0))
+        feat1, feat2 = jnp.split(feats, 2, axis=0)
 
         cost_memory, cost_maps = MemoryEncoder(
             cost_latent_input_dim=cfg.cost_latent_input_dim,
