@@ -108,6 +108,7 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         self._pipeline_cache: dict = {}
         self._rng_key = jax.random.PRNGKey(0)
         self._frame_count = 0
+        self._pending_sync: Optional[dict] = None
 
     # -- config ---------------------------------------------------------------
     @classmethod
@@ -312,6 +313,65 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         prev_pose = packed[n, 7:14].astype(np.float32)
         return obs, keep, pos0_Tw, cov0_Tw, color, est_pose, prev_pose
 
+    def _consume_pending_sync(self) -> None:
+        """Materialize the previous pair's packed sync, register its factor
+        graph on the host, and dispatch its backend solve.
+
+        This runs ONE frame late by design (software pipelining): the packed
+        array's device->host copy was started asynchronously last frame and
+        the next frame's frontend is already dispatched when we block here, so
+        the link transfer and the device compute fully overlap host work. The
+        backend solve dispatched here is still consumed by the *current*
+        frame's registration through a device-side handle (take_pending), so
+        the estimator semantics match the reference's one-frame-latency
+        pipelining exactly (Module/Optimization/Interface.py:80-96).
+        """
+        if self._pending_sync is None:
+            return
+        ctx = self._pending_sync
+        self._pending_sync = None
+
+        with timer.cpu_time("Sync consume"):
+            packed = np.asarray(ctx["packed_dev"])
+        obs_np, keep_np, pos0_Tw, cov0_Tw, kp0_color, est_pose, prev_pose_host = \
+            self._unpack_sync(packed)
+
+        prev_idx, frame_idx = ctx["prev_idx"], ctx["frame_idx"]
+        # Backfill: the estimated pose of the pair's new frame and the
+        # optimized pose of its anchor (the reference's write_map point).
+        self.graph.frames.data["pose"][frame_idx] = est_pose
+        if ctx["backfill_idx"] is not None:
+            self.graph.frames.data["pose"][ctx["backfill_idx"]] = prev_pose_host
+        for hook in self.on_optimize_writeback:
+            hook(self)
+
+        obs_np = {k: v[keep_np] for k, v in obs_np.items()}
+        n_obs = int(keep_np.sum())
+
+        point_idx = self.graph.points.push({
+            "pos_Tw": pos0_Tw[keep_np],
+            "cov_Tw": cov0_Tw[keep_np],
+            "color": kp0_color[keep_np],
+        })
+        num_match_orig = len(self.graph.match)
+        match_idx = self.graph.match.push(obs_np)
+        self.graph.point2match.add(point_idx, match_idx)
+        self.graph.match2point.set(match_idx, point_idx)
+        self.graph.frame2match.add(np.array([prev_idx]), np.array([num_match_orig]), np.array([n_obs]))
+        self.graph.frame2match.add(np.array([frame_idx]), np.array([num_match_orig]), np.array([n_obs]))
+        self.graph.match2frame1.set(match_idx, np.full((n_obs,), prev_idx, dtype=np.int64))
+        self.graph.match2frame2.set(match_idx, np.full((n_obs,), frame_idx, dtype=np.int64))
+
+        if ctx["mapping_dev"] is not None:
+            self._consume_mapping(ctx["mapping_dev"], frame_idx)
+
+        # Launch (async) optimization or mark lost track (reference: MACVO.py:300-311).
+        if n_obs < MIN_NUM_POINT:
+            Logger.warning(f"VOLostTrack @ {ctx['seq_idx']} - only {n_obs} observations")
+            self.graph.frames.data["need_interp"][frame_idx] = True
+            return
+        self.Optimizer.start_optimize(self.Optimizer.get_graph_data(self.graph, frame_idx))
+
     def run_pair(self, frame0: StereoFrame, frame1: StereoFrame) -> None:
         assert self.prev_keyframe is not None
         prev_frame, prev_idx, depth0 = self.prev_keyframe
@@ -319,22 +379,29 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         # Non-keyframes inherit the previous pose and get marked for terminal
         # interpolation (reference: MACVO.py:176-179).
         if not self.KeyframeSelector.is_keyframe(frame1):
+            self._consume_pending_sync()
             self.push_keyframe(
                 frame1, self.graph.frames.data["pose"][prev_idx], need_interp=True
             )
             return
 
+        # 1. Dispatch this pair's frontend FIRST — the device chews on it while
+        #    the host materializes last frame's sync below.
         with timer.cpu_time("Frontend.estimate"):
             depth1, match01 = self.Frontend.estimate_pair(frame0.stereo, frame1.stereo)
 
-        # Consume the previous frame's optimized pose DEVICE-SIDE: no download
-        # here; the host map copy is refreshed from this frame's packed sync.
+        # 2. Consume last frame's sync; dispatches the anchor frame's solve.
+        self._consume_pending_sync()
+
+        # 3. The anchor's optimized pose stays a DEVICE handle end to end.
         pending = self.Optimizer.take_pending()
         if pending is not None:
             assert pending.frame_idx == prev_idx
             prev_pose_dev = jnp.asarray(pending.pose, jnp.float32)
+            backfill_idx = prev_idx
         else:
             prev_pose_dev = jnp.asarray(self.graph.frames.data["pose"][prev_idx])
+            backfill_idx = None
 
         self.MotionEstimator.update(prev_pose_dev)
         est_pose_dev = jnp.asarray(
@@ -356,50 +423,28 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
                 prev_pose_dev, est_pose_dev, key,
             )
 
-        # -- THE host sync: ONE packed transfer per frame ---------------------
-        with timer.cpu_time("Map sync"):
-            packed = np.asarray(packed_dev)
-        obs_np, keep_np, pos0_Tw, cov0_Tw, kp0_color, est_pose, prev_pose_host = \
-            self._unpack_sync(packed)
-
-        # Backfill the optimized pose into the host map + fire hooks
-        # (the reference's write_map point, Odometry/MACVO.py:185-190).
-        if pending is not None:
-            self.graph.frames.data["pose"][pending.frame_idx] = prev_pose_host
-        for hook in self.on_optimize_writeback:
-            hook(self)
-
-        obs_np = {k: v[keep_np] for k, v in obs_np.items()}
-        n_obs = int(keep_np.sum())
-
-        point_idx = self.graph.points.push({
-            "pos_Tw": pos0_Tw[keep_np],
-            "cov_Tw": cov0_Tw[keep_np],
-            "color": kp0_color[keep_np],
-        })
-        num_match_orig = len(self.graph.match)
-        frame_idx = self.push_keyframe(frame1, np.asarray(est_pose))
-        match_idx = self.graph.match.push(obs_np)
-
-        self.graph.point2match.add(point_idx, match_idx)
-        self.graph.match2point.set(match_idx, point_idx)
-        self.graph.frame2match.add(np.array([prev_idx]), np.array([num_match_orig]), np.array([n_obs]))
-        self.graph.frame2match.add(np.array([frame_idx]), np.array([num_match_orig]), np.array([n_obs]))
-        self.graph.match2frame1.set(match_idx, np.full((n_obs,), prev_idx, dtype=np.int64))
-        self.graph.match2frame2.set(match_idx, np.full((n_obs,), frame_idx, dtype=np.int64))
-
-        self.prev_keyframe = (frame1, frame_idx, depth1)
-
-        # Launch (async) optimization or mark lost track (reference: MACVO.py:300-311).
-        if n_obs < MIN_NUM_POINT:
-            Logger.warning(f"VOLostTrack @ {frame1.frame_idx} - only {n_obs} observations")
-            self.graph.frames.data["need_interp"][frame_idx] = True
-            return
-        self.Optimizer.start_optimize(self.Optimizer.get_graph_data(self.graph, frame_idx))
-
-        # Dense mapping points (reference: MACVO.py:313-337).
+        mapping_dev = None
         if self.mapping:
-            self._push_mapping_points(frame0, frame_idx, depth0, depth1, match01, prev_pose_dev)
+            mapping_dev = self._dispatch_mapping(frame0, depth0, depth1, match01, prev_pose_dev)
+
+        # 4. Start the device->host copy now; it lands before next frame.
+        try:
+            packed_dev.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - older jax arrays
+            pass
+
+        # Push the new keyframe row now (indices must exist); its pose is
+        # backfilled from the packed sync at consumption.
+        frame_idx = self.push_keyframe(frame1, self.graph.frames.data["pose"][prev_idx])
+        self._pending_sync = {
+            "packed_dev": packed_dev,
+            "prev_idx": prev_idx,
+            "frame_idx": frame_idx,
+            "backfill_idx": backfill_idx,
+            "mapping_dev": mapping_dev,
+            "seq_idx": frame1.frame_idx,
+        }
+        self.prev_keyframe = (frame1, frame_idx, depth1)
 
     def _mapping_core(self, meta0: StereoData):
         """Fused (jitted) dense-mapping point pipeline."""
@@ -433,17 +478,23 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
 
         return jax.jit(core)
 
-    def _push_mapping_points(self, frame0, frame_idx, depth0, depth1, match01, prev_pose_dev):
+    def _dispatch_mapping(self, frame0, depth0, depth1, match01, prev_pose_dev):
         cache_key = ("mapping", frame0.stereo.height, frame0.stereo.width)
         if cache_key not in self._pipeline_cache:
             self._pipeline_cache[cache_key] = self._mapping_core(frame0.stereo)
         key = jax.random.fold_in(self._rng_key, 2 * self._frame_count + 1)
-        # One packed (M,16) transfer: valid | pos_Tw 3 | cov_Tw 9 | color 3.
-        packed = np.asarray(
-            self._pipeline_cache[cache_key](
-                frame0.stereo.imageL, depth0, depth1, match01, prev_pose_dev, key,
-            )
+        # One packed (M,16) array: valid | pos_Tw 3 | cov_Tw 9 | color 3.
+        packed_dev = self._pipeline_cache[cache_key](
+            frame0.stereo.imageL, depth0, depth1, match01, prev_pose_dev, key,
         )
+        try:
+            packed_dev.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        return packed_dev
+
+    def _consume_mapping(self, packed_dev, frame_idx: int) -> None:
+        packed = np.asarray(packed_dev)
         valid_np = packed[:, 0] > 0.5
         num_map_orig = len(self.graph.map_points)
         self.graph.map_points.push({
@@ -461,6 +512,9 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
 
     def terminate(self) -> None:
         super().terminate()
+        # Flush the pipeline: register the in-flight pair (which dispatches the
+        # final solve), then fetch that solve's result into the map.
+        self._consume_pending_sync()
         if self.prev_keyframe is not None:
             self.Optimizer.write_map(self.graph)
         self.Optimizer.terminate()
