@@ -35,11 +35,16 @@ class Mlp(nn.Module):
 
 
 class LocallyGroupedAttention(nn.Module):
-    """Window (7x7) self-attention — Twins-SVT LSA."""
+    """Windowed self-attention — Twins-SVT LSA.
+
+    Window 8 (not the torch default 7): 8 divides every stage size of the
+    /8-aligned inputs this model sees, which removes the pad+mask branch from
+    every block AND aligns windows to TPU sublane tiling. No pretrained
+    weights constrain the choice (SURVEY.md §2.9: weights must be retrained)."""
 
     dim: int
     num_heads: int
-    window: int = 7
+    window: int = 8
 
     @nn.compact
     def __call__(self, x):
@@ -111,7 +116,7 @@ class Block(nn.Module):
     mlp_ratio: int
     use_window: bool
     sr_ratio: int = 1
-    window: int = 7
+    window: int = 8
 
     @nn.compact
     def __call__(self, x):
@@ -145,6 +150,7 @@ class TwinsSVT(nn.Module):
     sr_ratios: Sequence[int] = (8, 4)
     mlp_ratios: Sequence[int] = (4, 4)
     patch_sizes: Sequence[int] = (4, 2)
+    window: int = 8
 
     @nn.compact
     def __call__(self, x):
@@ -156,6 +162,7 @@ class TwinsSVT(nn.Module):
                 x = Block(
                     dim, self.num_heads[s], self.mlp_ratios[s],
                     use_window=(i % 2 == 0), sr_ratio=self.sr_ratios[s],
+                    window=self.window,
                     name=f"stage{s}_block{i}",
                 )(x)
                 if i == 0:
