@@ -33,28 +33,33 @@ def build_odometry(width: int, height: int):
     from macvo_tpu.odometry import MACVO
     from macvo_tpu.utils.config import build_dynamic_config
 
+    # Mirrors the reference Fast config EXACTLY
+    # (/root/reference/Config/Experiment/MACVO/MACVO_Fast.yaml): mapping mode
+    # ON with MappingPointSelector, CovAwareSelector_NoDepth keypoints,
+    # CovarianceSanityFilter only, MotionInterpolate postprocess, disp graph.
+    # TPU substitutions: bf16 encoder (the TPU half-precision type; reference
+    # uses fp16 on CUDA), Local re-anchored f32 LM solve on-device (the
+    # reference solves f64 on host CPU).
     cfg, _ = build_dynamic_config({
         "Odometry": {
-            "args": {"num_point": 200, "edgewidth": 20, "match_cov_default": 0.25,
-                     "profile": False, "mapping": False},
+            "args": {"num_point": 200, "edgewidth": 32, "match_cov_default": 0.25,
+                     "profile": False, "mapping": True},
             "frontend": {"type": "FlowFormerCovFrontend", "args": {
                 "weight": "random:0", "enc_dtype": "bf16", "dec_dtype": "bf16",
                 "enforce_positive_disparity": False, "decoder_depth": 12}},
             "motion": {"type": "StaticMotionModel", "args": {}},
-            "keypoint": {"type": "CovAwareSelector", "args": {
-                "mask_width": 32, "max_depth": "auto", "kernel_size": 7,
-                "max_depth_cov": 1e5, "max_match_cov": 1e5}},
-            "mappoint": {"type": "RandomSelector", "args": {"mask_width": 32}},
-            "outlier": {"type": "FilterCompose", "args": {"filter_args": [
-                {"type": "CovarianceSanityFilter", "args": {}},
-                {"type": "SimpleDepthFilter", "args": {"min_depth": 0.1, "max_depth": "auto"}}]}},
+            "keypoint": {"type": "CovAwareSelector_NoDepth", "args": {
+                "mask_width": 32, "kernel_size": 7, "max_match_cov": 100.0}},
+            "mappoint": {"type": "MappingPointSelector", "args": {
+                "max_depth": 5.0, "max_depth_cov": 0.005, "mask_width": 32}},
+            "outlier": {"type": "CovarianceSanityFilter", "args": {}},
             "cov": {"obs": {"type": "MatchCovariance", "args": {
                 "kernel_size": 31, "match_cov_default": 0.25,
                 "min_flow_cov": 0.25, "min_depth_cov": 0.05}}},
-            "postprocess": {"type": "PoseInterpolate", "args": {}},
+            "postprocess": {"type": "MotionInterpolate", "args": {}},
             "keyframe": {"type": "AllKeyframe", "args": {}},
             "optimizer": {"type": "Local_TwoFrame_PGO", "args": {
-                "graph_type": "icp", "parallel": True, "use_fp64": False, "capacity": 256}},
+                "graph_type": "disp", "parallel": True, "use_fp64": False, "capacity": 256}},
         }
     })
     return MACVO.from_config(cfg)

@@ -42,18 +42,32 @@ def _resize_batch(images: np.ndarray, w: int, h: int, interp=cv2.INTER_LINEAR) -
     return out[..., 0] if squeeze else out
 
 
+def _interp_flag(config) -> int:
+    """Map the config's ``interp`` key (reference key, values
+    nearest/bilinear) to a cv2 flag. The legacy ``interpolate`` key is also
+    accepted."""
+    name = getattr(config, "interp", getattr(config, "interpolate", "bilinear"))
+    return cv2.INTER_NEAREST if name == "nearest" else cv2.INTER_LINEAR
+
+
 class ScaleFrame(IDataTransform):
-    """Resize images/gt by (scale_u, scale_v); K and flow values rescale
-    (reference: Transform.py:41-94)."""
+    """Resize the frame DOWN by a factor: target size = original / scale
+    (matches reference Transform.py:62-66 — ``scale_u: 2.0`` halves the
+    width). K and flow values divide by the *rounded* scale recomputed from
+    the integer target size (reference: Transform.py:41-94)."""
 
     def __call__(self, frame: StereoFrame) -> StereoFrame:
         su, sv = float(self.config.scale_u), float(self.config.scale_v)
-        interp = cv2.INTER_NEAREST if getattr(self.config, "interpolate", "linear") == "nearest" else cv2.INTER_LINEAR
+        interp = _interp_flag(self.config)
         s = frame.stereo
         H, W = s.imageL.shape[1:3]
-        new_w, new_h = round(W * su), round(H * sv)
-        K = np.asarray(s.K) * np.array(
-            [[su, 1.0, su], [1.0, sv, sv], [1.0, 1.0, 1.0]], dtype=np.float32
+        new_w, new_h = int(W / su), int(H / sv)
+        # The achievable scale after integer rounding — K/flow must rescale by
+        # THIS, not the requested factor (reference: Transform.py:65-72).
+        round_su, round_sv = W / new_w, H / new_h
+        K = np.asarray(s.K) / np.array(
+            [[round_su, 1.0, round_su], [1.0, round_sv, round_sv], [1.0, 1.0, 1.0]],
+            dtype=np.float32,
         )
 
         def rs(x, nearest=False):
@@ -63,7 +77,7 @@ class ScaleFrame(IDataTransform):
 
         gt_flow = rs(s.gt_flow)
         if gt_flow is not None:
-            gt_flow = gt_flow * np.array([su, sv], dtype=np.float32)
+            gt_flow = gt_flow / np.array([round_su, round_sv], dtype=np.float32)
         flow_mask = rs(s.flow_mask, nearest=True)
         return StereoFrame(
             idx=frame.idx,
@@ -90,6 +104,12 @@ class ScaleFrame(IDataTransform):
                 "scale_v": lambda v: isinstance(v, (int, float)) and v > 0,
             },
         )
+        _check_interp_key(config)
+
+
+def _check_interp_key(config) -> None:
+    name = getattr(config, "interp", getattr(config, "interpolate", "bilinear"))
+    assert name in ("nearest", "bilinear", "linear"), f"bad interp mode {name!r}"
 
 
 class CenterCropFrame(IDataTransform):
@@ -207,9 +227,13 @@ class SmartResizeFrame(IDataTransform):
     def __call__(self, frame: StereoFrame) -> StereoFrame:
         tw, th = int(self.config.width), int(self.config.height)
         H, W = frame.stereo.imageL.shape[1:3]
-        factor = max(tw / W, th / H)
-        scale = ScaleFrame(SimpleNamespace(scale_u=factor, scale_v=factor,
-                                           interpolate=getattr(self.config, "interpolate", "linear")))
+        # Divide-factor convention: scale by the SMALLER shrink so both target
+        # dims stay covered, then crop (reference: Transform.py:198-207).
+        factor = min(H / th, W / tw)
+        scale = ScaleFrame(SimpleNamespace(
+            scale_u=factor, scale_v=factor,
+            interp=getattr(self.config, "interp",
+                           getattr(self.config, "interpolate", "bilinear"))))
         crop = CenterCropFrame(SimpleNamespace(width=tw, height=th))
         return crop(scale(frame))
 
@@ -222,3 +246,4 @@ class SmartResizeFrame(IDataTransform):
                 "height": lambda v: isinstance(v, int) and v > 0,
             },
         )
+        _check_interp_key(config)

@@ -2,6 +2,7 @@ import numpy as np
 import pytest
 
 from macvo_tpu.data import SequenceBase, StereoFrame, smart_transform
+from macvo_tpu.data.transform import ScaleFrame
 from macvo_tpu.data.datasets.synthetic import SyntheticStereo, write_tartanair_layout
 from macvo_tpu.data.datasets.tartanair import TartanAir
 from macvo_tpu.geometry import se3
@@ -88,19 +89,49 @@ def test_registry_from_config():
 
 
 def test_transforms(synth_seq):
+    # Reference divide semantics (Transform.py:62-66): scale 2.0 HALVES the
+    # frame — a config ported verbatim from the reference must behave the same.
     trans = [
-        {"type": "ScaleFrame", "args": {"scale_u": 0.5, "scale_v": 0.5}},
+        {"type": "ScaleFrame", "args": {"scale_u": 2.0, "scale_v": 2.0}},
         {"type": "CenterCropFrame", "args": {"width": 64, "height": 48}},
     ]
     seq = smart_transform(SyntheticStereo(dict(SMALL)), trans)
     frame = seq[0]
     assert frame.stereo.imageL.shape == (1, 48, 64, 3)
-    # fx halves; cx: 80*0.5 = 40, crop (80-64)/2=8 -> 32
+    # fx halves; cx: 80/2 = 40, crop (80-64)/2=8 -> 32
     K = np.asarray(frame.stereo.K)[0]
     assert abs(K[0, 0] - 40.0) < 1e-4
     assert abs(K[0, 2] - 32.0) < 1e-4
     # Flow values scaled by 0.5 as well
     assert frame.stereo.gt_flow.shape == (1, 48, 64, 2)
+
+
+def test_scale_frame_parity_with_reference_semantics(synth_seq):
+    """K / flow / GT rescaling parity with the reference's rounded-scale math
+    (reference: DataLoader/Transform.py:41-94)."""
+    frame = synth_seq[0]
+    H, W = 120, 160
+    su, sv = 1.5, 1.3  # non-integer targets exercise the rounding path
+    out = ScaleFrame({"scale_u": su, "scale_v": sv})(frame)
+    tw, th = int(W / su), int(H / sv)
+    assert out.stereo.imageL.shape == (1, th, tw, 3)
+    r_su, r_sv = W / tw, H / th
+    K0 = np.asarray(frame.stereo.K)[0]
+    K1 = np.asarray(out.stereo.K)[0]
+    np.testing.assert_allclose(K1[0, 0], K0[0, 0] / r_su, rtol=1e-5)
+    np.testing.assert_allclose(K1[1, 1], K0[1, 1] / r_sv, rtol=1e-5)
+    np.testing.assert_allclose(K1[0, 2], K0[0, 2] / r_su, rtol=1e-5)
+    np.testing.assert_allclose(K1[1, 2], K0[1, 2] / r_sv, rtol=1e-5)
+    # Flow VALUES divide by the rounded scale (pixels shrink with the image).
+    f0 = np.asarray(frame.stereo.gt_flow)
+    f1 = np.asarray(out.stereo.gt_flow)
+    assert abs(np.nanmax(np.abs(f1[..., 0])) - np.nanmax(np.abs(f0[..., 0])) / r_su) < 0.35
+    # Projection consistency: a 3D point projected with K1 lands at u/r_su of
+    # its K0 projection.
+    pt = np.array([4.0, 0.7, -0.3])  # NED: x forward
+    u0 = K0[0, 0] * pt[1] / pt[0] + K0[0, 2]
+    u1 = K1[0, 0] * pt[1] / pt[0] + K1[0, 2]
+    np.testing.assert_allclose(u1, u0 / r_su, rtol=1e-5)
 
 
 def test_smart_resize(synth_seq):
