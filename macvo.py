@@ -31,6 +31,8 @@ def main() -> None:
                         help="remove the result sandbox on exit")
     parser.add_argument("--noeval", action="store_true", help="skip metric evaluation")
     parser.add_argument("--timing", action="store_true", help="enable the profiler")
+    parser.add_argument("--saveplt", action="store_true",
+                        help="save trajectory/error figures into the sandbox")
     args = parser.parse_args()
 
     from macvo_tpu.data import DevicePrefetcher, SequenceBase, smart_transform
@@ -75,6 +77,12 @@ def main() -> None:
     if args.timing:
         timer.report()
         timer.save_elapsed(sandbox.path("elapsed_time.json"))
+
+    if args.saveplt and sandbox.path("ref_poses.npy").exists():
+        from macvo_tpu.evaluation.plot_seq import plot_separately
+
+        plot_separately([str(sandbox.folder)], sandbox.path("plots"))
+        Logger.info(f"figures saved to {sandbox.path('plots')}")
 
     if not args.noeval and sandbox.path("ref_poses.npy").exists():
         metrics = evaluate_sandbox(sandbox)

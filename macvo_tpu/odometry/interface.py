@@ -76,6 +76,9 @@ class IOdometry(Generic[T_Frame]):
             )
             time_s = frames.data["time_ns"].astype(np.float64)[:, None] / 1e9
             np.save(saveto.path("poses.npy"), np.concatenate([time_s, body], axis=1))
+            # Lost-track status per frame — consumed by the plotting suite's
+            # lost-track markers (reference: Trajectory.from_sandbox:91-121).
+            np.save(saveto.path("need_interp.npy"), frames.data["need_interp"][:n])
             graph.save(saveto.path("tensor_map.npz"))
         if self.gt_poses:
             gt = np.stack(self.gt_poses).astype(np.float64)

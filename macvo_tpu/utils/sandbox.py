@@ -106,6 +106,17 @@ class Sandbox:
         names = [ln.strip() for ln in listing.read_text().splitlines() if ln.strip()]
         return [Sandbox(self.folder / n) for n in names]
 
+    def get_leaves(self) -> list["Sandbox"]:
+        """All descendant sandboxes without children (reference:
+        Sandbox.get_leaves, used by the plot/eval CLIs' --recursive)."""
+        children = self.get_children()
+        if not children:
+            return [self]
+        out: list[Sandbox] = []
+        for c in children:
+            out.extend(c.get_leaves())
+        return out
+
     # -- cleanup ---------------------------------------------------------
     def set_autoremove(self) -> None:
         if not self._autoremove:

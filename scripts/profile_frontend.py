@@ -23,15 +23,25 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timeit(fn, *args, iters=10, name=""):
-    out = fn(*args)
+def timeit(fn, *args, iters=10, name="", vary=0):
+    """Time fn over ``iters`` calls. ``vary``: index of an arg to perturb per
+    call (distinct input buffers defeat any runtime memoization of identical
+    dispatches — observed with the remote axon backend)."""
+    variants = []
+    for i in range(iters):
+        a = list(args)
+        a[vary] = jax.tree.map(
+            lambda x: x + jnp.asarray(i * 1e-6, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            a[vary])
+        variants.append(tuple(a))
+    jax.block_until_ready(variants)
+    out = fn(*variants[0])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*v) for v in variants]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{name:<32s} {dt:8.2f} ms")
+    print(f"{name:<32s} {dt:8.2f} ms", flush=True)
     return dt
 
 
@@ -62,21 +72,21 @@ def main():
     twins = TwinsSVT()
     tw_params = twins.init(key, img[:1])["params"]
     f_twins2 = jax.jit(lambda p, x: twins.apply({"params": p}, x))
-    timeit(f_twins2, tw_params, img, iters=args.iters, name=f"twins batch{B} (cnet)")
-    timeit(f_twins2, tw_params, img4, iters=args.iters, name=f"twins batch{2*B} (fnet)")
+    timeit(f_twins2, tw_params, img, iters=args.iters, name=f"twins batch{B} (cnet)", vary=1)
+    timeit(f_twins2, tw_params, img4, iters=args.iters, name=f"twins batch{2*B} (fnet)", vary=1)
 
     feat = jax.random.normal(key, (B, h1, w1, 256), dt)
     ctx = jax.random.normal(key, (B, h1, w1, 256), dt)
 
     # --- all-pairs correlation ---
     f_corr = jax.jit(all_pairs_correlation)
-    timeit(f_corr, feat, feat, iters=args.iters, name="all-pairs correlation")
+    timeit(f_corr, feat, feat, iters=args.iters, name="all-pairs correlation", vary=0)
 
     # --- memory encoder (corr + perceiver) ---
     menc = MemoryEncoder()
     me_params = menc.init(key, feat, feat, ctx)["params"]
     f_menc = jax.jit(lambda p, a, b, c: menc.apply({"params": p}, a, b, c))
-    timeit(f_menc, me_params, feat, feat, ctx, iters=args.iters, name="memory encoder (corr+perceiver)")
+    timeit(f_menc, me_params, feat, feat, ctx, iters=args.iters, name="memory encoder (corr+perceiver)", vary=1)
 
     # --- decoder ---
     cost_memory = jax.random.normal(key, (B * h1 * w1, 8, 128), dt)
@@ -86,7 +96,7 @@ def main():
     dec_params = dec.init(key, cost_memory, ctx32, cost_maps)["params"]
     f_dec = jax.jit(lambda p, m, c, cm: dec.apply({"params": p}, m, c, cm))
     timeit(f_dec, dec_params, cost_memory, ctx32, cost_maps,
-           iters=args.iters, name="decoder scan x12")
+           iters=args.iters, name="decoder scan x12", vary=1)
 
     # --- isolated decoder sub-ops (x12 to compare with the scan) ---
     coords = jax.random.uniform(key, (B, h1, w1, 2), jnp.float32) * 32
@@ -99,14 +109,14 @@ def main():
         c, _ = jax.lax.scan(body, crd, length=12)
         return c
 
-    timeit(f_eft12, cost_maps, coords, iters=args.iters, name="encode_flow_token x12")
+    timeit(f_eft12, cost_maps, coords, iters=args.iters, name="encode_flow_token x12", vary=1)
 
     # --- full model ---
     model = FlowFormerCov(cfg)
     params = model.init(key, img[:1].astype(jnp.float32), img[:1].astype(jnp.float32))["params"]
     f_full = jax.jit(lambda p, a, b: model.apply({"params": p}, a, b)["flow_final"])
     imgf = img.astype(jnp.float32)
-    timeit(f_full, params, imgf, imgf, iters=args.iters, name="FULL forward (pair batch2)")
+    timeit(f_full, params, imgf, imgf, iters=args.iters, name="FULL forward (pair batch2)", vary=1)
 
 
 if __name__ == "__main__":
