@@ -1,0 +1,149 @@
+"""Multi-sequence training dataset: pair sampling over a dataset mixture
+(reference: DataLoader/Dataset/Train.py:10-56 — ``TrainDataset`` +
+``mp_instantiation`` + ConcatDataset; train transforms applied per sample,
+Train/MatchingNet/train_flowformer.py:150-167).
+
+TPU-first shape: instead of torch DataLoader workers, batches are assembled
+host-side by a thread pool (the reference's preload-executor pattern,
+SequenceBase.py:78-95) with fixed (H, W) crops so ONE jitted train step
+serves every sample, and a one-deep prefetch overlaps assembly with the
+device step.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as futures
+from types import SimpleNamespace
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ...utils.logging import Logger
+from ..sequence import SequenceBase
+from ..transform import IDataTransform
+
+
+def _to_ns_list(cfgs) -> list:
+    out = []
+    for c in cfgs:
+        if isinstance(c, dict):
+            c = SimpleNamespace(**c)
+        out.append(c)
+    return out
+
+
+class TrainPairDataset:
+    """Mixture of sequences yielding consecutive-frame training pairs.
+
+    ``configs``: list of ``{type, args}`` sequence specs (the multi-sequence
+    yaml of the reference). Sequences are instantiated concurrently
+    (reference ``mp_instantiation`` — threads here: instantiation is
+    I/O-bound directory scanning). ``transforms``: list of ``{type, args}``
+    transform specs applied to every frame at sample time (train-time
+    noise/crop/cast).
+    """
+
+    def __init__(self, configs: Sequence, transforms: Sequence | None = None) -> None:
+        configs = _to_ns_list(configs)
+        with futures.ThreadPoolExecutor(max_workers=max(1, len(configs))) as ex:
+            self.sequences: list[SequenceBase] = list(
+                ex.map(lambda c: SequenceBase.instantiate(c.type, c.args), configs)
+            )
+        self.transforms: list[IDataTransform] = [
+            IDataTransform.instantiate(t.type, t.args)
+            for t in _to_ns_list(transforms or [])
+        ]
+        # Global pair index: (sequence_id, local_frame) for every consecutive
+        # pair in every sequence.
+        self._pairs: list[tuple[int, int]] = []
+        for si, seq in enumerate(self.sequences):
+            for fi in range(len(seq) - 1):
+                self._pairs.append((si, fi))
+        if not self._pairs:
+            raise ValueError("TrainPairDataset: no frame pairs in any sequence")
+        Logger.info(
+            f"TrainPairDataset: {len(self.sequences)} sequences, {len(self._pairs)} pairs"
+        )
+
+    def __len__(self) -> int:
+        return len(self._pairs)
+
+    def get_pair(self, index: int):
+        si, fi = self._pairs[index]
+        seq = self.sequences[si]
+        f0, f1 = seq[fi], seq[fi + 1]
+        for t in self.transforms:
+            f0, f1 = t(f0), t(f1)
+        return f0, f1
+
+    # -- batch assembly ------------------------------------------------------
+    def _assemble(self, idx: np.ndarray, height: int, width: int,
+                  rng: np.random.Generator) -> dict[str, np.ndarray]:
+        img1, img2, gt_flow, mask = [], [], [], []
+        for i in idx:
+            f0, f1 = self.get_pair(int(i))
+            s = f0.stereo
+            assert s.gt_flow is not None, "training needs gt_flow"
+            # Random crop (train-time augmentation; the reference center-crops
+            # then scales — random crops see more of the image over an epoch).
+            h0 = rng.integers(0, max(1, s.height - height))
+            w0 = rng.integers(0, max(1, s.width - width))
+            sl = (slice(None), slice(h0, h0 + height), slice(w0, w0 + width))
+            img1.append(np.asarray(s.imageL)[sl])
+            img2.append(np.asarray(f1.stereo.imageL)[sl])
+            gt_flow.append(np.asarray(s.gt_flow)[sl])
+            if s.flow_mask is not None:
+                mask.append(np.asarray(s.flow_mask)[sl])
+        batch = {
+            "img1": np.concatenate(img1, 0).astype(np.float32),
+            "img2": np.concatenate(img2, 0).astype(np.float32),
+            "gt_flow": np.concatenate(gt_flow, 0).astype(np.float32),
+        }
+        if mask:
+            batch["flow_mask"] = np.concatenate(mask, 0)
+        return batch
+
+    def batches(self, batch_size: int, height: int, width: int,
+                seed: int = 0) -> Iterator[dict[str, np.ndarray]]:
+        """Infinite uniform-over-pairs batch stream with one-deep threaded
+        prefetch (host assembly overlaps the device step)."""
+        rng = np.random.default_rng(seed)
+        pool = futures.ThreadPoolExecutor(max_workers=1)
+
+        def draw():
+            idx = rng.integers(0, len(self._pairs), size=batch_size)
+            return self._assemble(idx, height, width, rng)
+
+        pending = pool.submit(draw)
+        try:
+            while True:
+                batch = pending.result()
+                pending = pool.submit(draw)
+                yield batch
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
+def make_eval_pairs(seq: SequenceBase, height: int, width: int,
+                    max_frames: int = 8) -> list[dict[str, np.ndarray]]:
+    """Deterministic center-cropped pairs from a held-out sequence for
+    eval-during-training (reference: Train/MatchingNet/evaluate.py)."""
+    out = []
+    n = min(max_frames, len(seq) - 1)
+    for i in range(n):
+        f0, f1 = seq[i], seq[i + 1]
+        s = f0.stereo
+        if s.gt_flow is None:
+            continue
+        h0 = max(0, (s.height - height) // 2)
+        w0 = max(0, (s.width - width) // 2)
+        sl = (slice(None), slice(h0, h0 + height), slice(w0, w0 + width))
+        d = {
+            "img1": np.asarray(s.imageL)[sl].astype(np.float32),
+            "img2": np.asarray(f1.stereo.imageL)[sl].astype(np.float32),
+            "gt_flow": np.asarray(s.gt_flow)[sl].astype(np.float32),
+        }
+        if s.flow_mask is not None:
+            d["flow_mask"] = np.asarray(s.flow_mask)[sl]
+        out.append(d)
+    return out

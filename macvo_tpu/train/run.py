@@ -1,28 +1,33 @@
-"""Cov-head training runner (reference: Train/MatchingNet/train_flowformer.py).
+"""Cov-head / flow training runner (reference: Train/MatchingNet/train_flowformer.py).
 
 Usage:
     python -m macvo_tpu.train.run --config configs/train/FlowFormerCov.yaml \
         [--steps N] [--out model/FlowFormerCov.npz] [--restore ckpt.npz]
 
-Data-parallel over all available devices (mesh axis ``data``); batches are
-consecutive-frame pairs drawn from the configured sequence (the reference's
-``TrainDataset`` pair sampling, DataLoader/Dataset/Train.py:10-56). Autosaves
-every ``autosave_freq`` steps (train_flowformer.py:119-127).
+Data-parallel over all available devices (mesh axis ``data``). Data comes
+from either a single sequence (``Data.Sequence``) or a multi-sequence
+mixture with train-time transforms (``Data.Sequences`` — the reference's
+``TrainDataset.mp_instantiation`` + ConcatDataset path,
+DataLoader/Dataset/Train.py:10-56). Periodic held-out evaluation (flow EPE /
+px-accuracy + cov NLL — Train/MatchingNet/evaluate.py) is logged to
+``metrics.csv`` beside the checkpoint. Autosaves every ``autosave_freq``
+steps (train_flowformer.py:119-127).
 """
 
 from __future__ import annotations
 
 import argparse
+import csv
 import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
 def make_pair_batches(seq, batch_size: int, height: int, width: int, rng: np.random.Generator):
-    """Yield dict batches of consecutive-frame training pairs (center-cropped
-    to a fixed size so one jit serves all samples)."""
+    """Single-sequence fallback: consecutive-frame pairs, center-cropped."""
     n = len(seq)
     assert n >= 2
 
@@ -53,6 +58,34 @@ def make_pair_batches(seq, batch_size: int, height: int, width: int, rng: np.ran
         yield batch
 
 
+def make_eval_fn(model, max_flow: float = 400.0):
+    """Jitted held-out metrics: masked EPE, 1px/3px accuracy, Gaussian NLL
+    of the cov head (reference: Train/MatchingNet/evaluate.py)."""
+
+    @jax.jit
+    def evaluate(params, batch):
+        out = model.apply({"params": params}, batch["img1"], batch["img2"])
+        flow = out["flow_final"].astype(jnp.float32)
+        gt = batch["gt_flow"]
+        mag = jnp.linalg.norm(gt, axis=-1, keepdims=True)
+        valid = mag < max_flow
+        if "flow_mask" in batch:
+            valid = valid & batch["flow_mask"].astype(bool)
+        err = jnp.linalg.norm(flow - gt, axis=-1, keepdims=True)
+        denom = jnp.maximum(valid.sum(), 1)
+        epe = jnp.where(valid, err, 0.0).sum() / denom
+        px1 = jnp.where(valid, (err < 1.0), False).sum() / denom
+        px3 = jnp.where(valid, (err < 3.0), False).sum() / denom
+        log_sigma = jnp.clip(out["cov_final"].astype(jnp.float32), -8.0, 8.0)
+        var = jnp.exp(2.0 * log_sigma)
+        err_sq = (flow - gt) ** 2
+        nll = 0.5 * (err_sq / var + jnp.log(var) + jnp.log(2 * jnp.pi))
+        nll = jnp.where(valid, nll.sum(-1, keepdims=True), 0.0).sum() / denom
+        return {"epe": epe, "px1": px1, "px3": px3, "nll": nll}
+
+    return evaluate
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
@@ -63,6 +96,7 @@ def main() -> None:
     args = parser.parse_args()
 
     from ..data import SequenceBase
+    from ..data.datasets.train import TrainPairDataset, make_eval_pairs
     from ..models.flowformer import FlowFormerConfig, FlowFormerCov
     from ..models.flowformer.weights import load_params, save_params
     from ..parallel import make_mesh
@@ -105,13 +139,47 @@ def main() -> None:
         )
     step_fn = make_sharded_train_step(model, opt, tcfg, mesh)
 
-    seq = SequenceBase.from_config(cfg.Data.Sequence)
-    rng = np.random.default_rng(int(getattr(cfg.Train, "seed", 0)))
-    batches = make_pair_batches(seq, batch_size, h, w, rng)
+    seed = int(getattr(cfg.Train, "seed", 0))
+    if hasattr(cfg.Data, "Sequences"):
+        # Multi-sequence mixture + train-time transforms.
+        dataset = TrainPairDataset(
+            cfg.Data.Sequences, getattr(cfg.Data, "transforms", None)
+        )
+        batches = dataset.batches(batch_size, h, w, seed=seed)
+    else:
+        seq = SequenceBase.from_config(cfg.Data.Sequence)
+        rng = np.random.default_rng(seed)
+        batches = make_pair_batches(seq, batch_size, h, w, rng)
+
+    # Held-out eval set (optional Eval section).
+    eval_batches, eval_fn, eval_freq = [], None, 0
+    if hasattr(cfg, "Eval"):
+        eval_seq = SequenceBase.from_config(cfg.Eval.Sequence)
+        eval_batches = make_eval_pairs(
+            eval_seq, h, w, max_frames=int(getattr(cfg.Eval, "max_frames", 8)))
+        eval_fn = make_eval_fn(model, tcfg.max_flow)
+        eval_freq = int(getattr(cfg.Eval, "freq", 1000))
+        Logger.info(f"eval-during-training: {len(eval_batches)} pairs every {eval_freq} steps")
 
     out_path = Path(args.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     autosave = int(getattr(cfg.Train, "autosave_freq", 5000))
+    metrics_path = out_path.with_name(out_path.stem + "_metrics.csv")
+    metrics_file = open(metrics_path, "a", newline="")
+    metrics_csv = csv.writer(metrics_file)
+    if metrics_file.tell() == 0:
+        metrics_csv.writerow(["step", "split", "loss", "epe", "px1", "px3", "nll"])
+
+    def run_eval(step_i: int) -> None:
+        if eval_fn is None or not eval_batches:
+            return
+        ms = [jax.device_get(eval_fn(state.params, b)) for b in eval_batches]
+        agg = {k: float(np.mean([m[k] for m in ms])) for k in ms[0]}
+        Logger.info(
+            f"eval @ {step_i}: epe={agg['epe']:.3f} px1={agg['px1']:.3f} "
+            f"px3={agg['px3']:.3f} nll={agg['nll']:.3f}")
+        metrics_csv.writerow([step_i, "eval", "", agg["epe"], agg["px1"], agg["px3"], agg["nll"]])
+        metrics_file.flush()
 
     Logger.info(f"Training {tcfg.num_steps} steps, batch {batch_size} on {n_dev} devices")
     t0 = time.time()
@@ -124,10 +192,17 @@ def main() -> None:
                 loss = float(aux["loss"])
                 rate = (i + 1) / (time.time() - t0)
                 Logger.info(f"step {i + 1}/{tcfg.num_steps} loss={loss:.4f} ({rate:.2f} it/s)")
+                metrics_csv.writerow([i + 1, "train", loss, "", "", "", ""])
+                metrics_file.flush()
+            if eval_freq and (i + 1) % eval_freq == 0:
+                run_eval(i + 1)
             if (i + 1) % autosave == 0:
                 save_params(out_path, state.params)
                 Logger.info(f"autosaved -> {out_path}")
+    if not (eval_freq and tcfg.num_steps % eval_freq == 0):
+        run_eval(tcfg.num_steps)  # final eval (unless the loop just ran one)
     save_params(out_path, state.params)
+    metrics_file.close()
     Logger.info(f"final checkpoint -> {out_path}")
 
 

@@ -1,11 +1,13 @@
 """Per-stage device timing of the FlowFormerCov frontend at 480x640 batch 2.
 
-Times each pipeline stage as its own jitted function (block_until_ready
-around a timed loop), localizing the frontend's device compute budget:
-Twins encoders, all-pairs correlation, cost perceiver, decoder scan, plus
-isolated decoder sub-ops (encode_flow_token, GRUs). Run on the TPU chip:
+Measurement method: each stage is wrapped in a ``lax.scan`` that runs it K
+times with a data dependency, ending in one scalar reduction fetched with
+``np.asarray`` — wall(K2) - wall(K1) divided by (K2-K1) isolates the pure
+device cost per stage, independent of dispatch/link/sync overheads (the
+remote axon backend acks ``block_until_ready`` before compute finishes, so
+naive timing loops measure nothing).
 
-    python scripts/profile_frontend.py [--height 480 --width 640 --iters 10]
+    PYTHONPATH=.:$PYTHONPATH python scripts/profile_frontend.py
 """
 
 from __future__ import annotations
@@ -18,40 +20,65 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/macvo_jax_cache")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def timeit(fn, *args, iters=10, name="", vary=0):
-    """Time fn over ``iters`` calls. ``vary``: index of an arg to perturb per
-    call (distinct input buffers defeat any runtime memoization of identical
-    dispatches — observed with the remote axon backend)."""
-    variants = []
-    for i in range(iters):
-        a = list(args)
-        a[vary] = jax.tree.map(
-            lambda x: x + jnp.asarray(i * 1e-6, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            a[vary])
-        variants.append(tuple(a))
-    jax.block_until_ready(variants)
-    out = fn(*variants[0])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    outs = [fn(*v) for v in variants]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{name:<32s} {dt:8.2f} ms", flush=True)
-    return dt
+def _perturb(tree, eps):
+    return jax.tree.map(
+        lambda x: x + jnp.asarray(eps, x.dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def scan_time(stage_fn, carry0, k_lo=1, k_hi=5, reps=3, name=""):
+    """stage_fn: carry -> carry (same pytree structure). Returns ms/stage."""
+
+    def make(k):
+        @jax.jit
+        def run(c):
+            def body(c0, _):
+                c1 = _perturb(stage_fn(c0), 1e-6)
+                c1 = jax.tree.map(lambda a, b: a.astype(b.dtype), c1, c0)
+                return c1, ()
+            c, _ = jax.lax.scan(body, c, length=k)
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(c))
+        return run
+
+    f_lo, f_hi = make(k_lo), make(k_hi)
+    # warm (compile + one fetch each)
+    np.asarray(f_lo(carry0)); np.asarray(f_hi(carry0))
+
+    def meas(f):
+        best = float("inf")
+        for r in range(reps):
+            c = _perturb(carry0, (r + 1) * 1e-5)
+            jax.block_until_ready(c)
+            t0 = time.perf_counter()
+            np.asarray(f(c))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = meas(f_lo), meas(f_hi)
+    ms = (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+    print(f"{name:<36s} {ms:8.2f} ms   (wall k{k_lo}={t_lo*1e3:.1f} k{k_hi}={t_hi*1e3:.1f})",
+          flush=True)
+    return ms
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--stages", type=str, default="all",
+                    help="comma list: twins,corr,perceiver,decoder,eft,full")
     args = ap.parse_args()
+    stages = args.stages.split(",") if args.stages != "all" else \
+        ["twins", "corr", "perceiver", "decoder", "eft", "full"]
 
     from macvo_tpu.models.flowformer import FlowFormerConfig, FlowFormerCov
     from macvo_tpu.models.flowformer.decoder import MemoryCovDecoder, encode_flow_token
@@ -61,62 +88,75 @@ def main():
     H, W, B = args.height, args.width, 2
     h1, w1 = H // 8, W // 8
     key = jax.random.PRNGKey(0)
-    cfg = FlowFormerConfig(encoder_dtype=args.dtype, decoder_dtype=args.dtype,
-                           inference_only=True)
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     img = jax.random.uniform(key, (B, H, W, 3), dt)
     img4 = jnp.concatenate([img, img], axis=0)
-
-    # --- Twins encoders ---
-    twins = TwinsSVT()
-    tw_params = twins.init(key, img[:1])["params"]
-    f_twins2 = jax.jit(lambda p, x: twins.apply({"params": p}, x))
-    timeit(f_twins2, tw_params, img, iters=args.iters, name=f"twins batch{B} (cnet)", vary=1)
-    timeit(f_twins2, tw_params, img4, iters=args.iters, name=f"twins batch{2*B} (fnet)", vary=1)
-
     feat = jax.random.normal(key, (B, h1, w1, 256), dt)
     ctx = jax.random.normal(key, (B, h1, w1, 256), dt)
 
-    # --- all-pairs correlation ---
-    f_corr = jax.jit(all_pairs_correlation)
-    timeit(f_corr, feat, feat, iters=args.iters, name="all-pairs correlation", vary=0)
+    if "twins" in stages:
+        twins = TwinsSVT()
+        tw_params = twins.init(key, img[:1])["params"]
 
-    # --- memory encoder (corr + perceiver) ---
-    menc = MemoryEncoder()
-    me_params = menc.init(key, feat, feat, ctx)["params"]
-    f_menc = jax.jit(lambda p, a, b, c: menc.apply({"params": p}, a, b, c))
-    timeit(f_menc, me_params, feat, feat, ctx, iters=args.iters, name="memory encoder (corr+perceiver)", vary=1)
+        def tw2(x):
+            out = twins.apply({"params": tw_params}, x)
+            return x + jnp.mean(out) * 1e-6
+        scan_time(tw2, img, name=f"twins batch{B} (cnet pass)")
 
-    # --- decoder ---
-    cost_memory = jax.random.normal(key, (B * h1 * w1, 8, 128), dt)
-    cost_maps = jax.random.normal(key, (B, h1 * w1, h1, w1), jnp.float32)
-    ctx32 = ctx.astype(jnp.float32)
-    dec = MemoryCovDecoder(decoder_depth=12, dtype=dt, inference_only=True)
-    dec_params = dec.init(key, cost_memory, ctx32, cost_maps)["params"]
-    f_dec = jax.jit(lambda p, m, c, cm: dec.apply({"params": p}, m, c, cm))
-    timeit(f_dec, dec_params, cost_memory, ctx32, cost_maps,
-           iters=args.iters, name="decoder scan x12", vary=1)
+        def tw4(x):
+            out = twins.apply({"params": tw_params}, x)
+            return x + jnp.mean(out) * 1e-6
+        scan_time(tw4, img4, name=f"twins batch{2*B} (fnet pass)")
 
-    # --- isolated decoder sub-ops (x12 to compare with the scan) ---
-    coords = jax.random.uniform(key, (B, h1, w1, 2), jnp.float32) * 32
+    if "corr" in stages:
+        def corr(f):
+            c = all_pairs_correlation(f, f)
+            return f + jnp.mean(c).astype(f.dtype) * 1e-6
+        scan_time(corr, feat, name="all-pairs correlation")
 
-    @jax.jit
-    def f_eft12(cm, crd):
-        def body(c, _):
-            v = encode_flow_token(cm, c)
-            return c + v[..., :2] * 1e-6, ()
-        c, _ = jax.lax.scan(body, crd, length=12)
-        return c
+    if "perceiver" in stages:
+        menc = MemoryEncoder()
+        me_params = menc.init(key, feat, feat, ctx)["params"]
 
-    timeit(f_eft12, cost_maps, coords, iters=args.iters, name="encode_flow_token x12", vary=1)
+        def percv(f):
+            mem, _ = menc.apply({"params": me_params}, f, f, ctx)
+            return f + jnp.mean(mem).astype(f.dtype) * 1e-6
+        scan_time(percv, feat, name="memory encoder (corr+perceiver)")
 
-    # --- full model ---
-    model = FlowFormerCov(cfg)
-    params = model.init(key, img[:1].astype(jnp.float32), img[:1].astype(jnp.float32))["params"]
-    f_full = jax.jit(lambda p, a, b: model.apply({"params": p}, a, b)["flow_final"])
-    imgf = img.astype(jnp.float32)
-    timeit(f_full, params, imgf, imgf, iters=args.iters, name="FULL forward (pair batch2)", vary=1)
+    if "decoder" in stages or "eft" in stages:
+        cost_memory = jax.random.normal(key, (B * h1 * w1, 8, 128), dt)
+        cost_maps = jax.random.normal(key, (B, h1 * w1, h1, w1), jnp.float32)
+        ctx32 = ctx.astype(jnp.float32)
+
+    if "decoder" in stages:
+        dec = MemoryCovDecoder(decoder_depth=12, dtype=dt, inference_only=True)
+        dec_params = dec.init(key, cost_memory, ctx32, cost_maps)["params"]
+
+        def decf(c):
+            out = dec.apply({"params": dec_params}, cost_memory, c, cost_maps)
+            return c + jnp.mean(out["flow_final"]) * 1e-6
+        scan_time(decf, ctx32, k_hi=3, name="decoder scan x12")
+
+    if "eft" in stages:
+        coords = jax.random.uniform(key, (B, h1, w1, 2), jnp.float32) * 32
+
+        def eft(c):
+            v = encode_flow_token(cost_maps, c)
+            return c + v[..., :2] * 1e-6
+        scan_time(eft, coords, k_lo=2, k_hi=12, name="encode_flow_token x1")
+
+    if "full" in stages:
+        cfg = FlowFormerConfig(encoder_dtype=args.dtype, decoder_dtype=args.dtype,
+                               inference_only=True)
+        model = FlowFormerCov(cfg)
+        imgf = img.astype(jnp.float32)
+        params = model.init(key, imgf[:1], imgf[:1])["params"]
+
+        def full(x):
+            out = model.apply({"params": params}, x, x)
+            return x + jnp.mean(out["flow_final"]).astype(x.dtype) * 1e-6
+        scan_time(full, imgf, k_hi=3, name="FULL forward (pair batch2)")
 
 
 if __name__ == "__main__":
