@@ -147,14 +147,18 @@ class BatchedOdometry:
         for system, frame in zip(self.systems, frames):
             system.run(frame)
 
+    def finish(self) -> None:
+        """Flush every sequence's in-flight sync + backend solve."""
+        for system in self.systems:
+            system.terminate()
+
     def run(self, sequences: Sequence, max_frames: Optional[int] = None) -> None:
         n = min(len(s) for s in sequences)
         if max_frames is not None:
             n = min(n, max_frames)
         for i in range(n):
             self.step([seq[i] for seq in sequences])
-        for system in self.systems:
-            system.terminate()
+        self.finish()
 
 
 def _with_precomputed_frontend(cfg):
