@@ -178,10 +178,22 @@ def to_numpy(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree, is_leaf=lambda x: x is None)
 
 
-def to_device(tree: Any, device=None) -> Any:
+def to_device(tree: Any, device=None, min_size: int = 1024) -> Any:
+    """Stage a frame's LARGE arrays (images, flow, depth) onto the device.
+
+    Small calibration leaves (K, T_BS, baseline, time_ns, poses) stay host
+    numpy: the per-frame driver reads them on the host (push_keyframe, trace
+    metadata), and on a remote-tunnel TPU every dependent device->host read
+    of a fresh buffer costs a full link round trip (~37 ms measured) — far
+    more than the upload saved.
+    """
+
     def put(x):
         if x is None:
             return None
-        return jax.device_put(jnp.asarray(x), device)
+        arr = np.asarray(x)
+        if arr.size < min_size:
+            return arr
+        return jax.device_put(jnp.asarray(arr), device)
 
     return jax.tree_util.tree_map(put, tree, is_leaf=lambda x: x is None)

@@ -15,6 +15,7 @@ one-frame-latency pipelining the reference builds with a child process
 
 from __future__ import annotations
 
+import concurrent.futures as futures
 import dataclasses
 from types import SimpleNamespace
 from typing import Callable, Optional
@@ -109,6 +110,11 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         self._rng_key = jax.random.PRNGKey(0)
         self._frame_count = 0
         self._pending_sync: Optional[dict] = None
+        # One background thread owns all device->host fetches: the main
+        # thread never blocks on the link (a dependent round trip costs
+        # ~37 ms on a remote-tunnel TPU); the fetch overlaps the next frame's
+        # dispatches and is joined one frame later.
+        self._fetch_pool = futures.ThreadPoolExecutor(max_workers=1)
 
     # -- config ---------------------------------------------------------------
     @classmethod
@@ -332,7 +338,7 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         self._pending_sync = None
 
         with timer.cpu_time("Sync consume"):
-            packed = np.asarray(ctx["packed_dev"])
+            packed, mapping_np = ctx["fetch"].result()
         obs_np, keep_np, pos0_Tw, cov0_Tw, kp0_color, est_pose, prev_pose_host = \
             self._unpack_sync(packed)
 
@@ -362,8 +368,8 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         self.graph.match2frame1.set(match_idx, np.full((n_obs,), prev_idx, dtype=np.int64))
         self.graph.match2frame2.set(match_idx, np.full((n_obs,), frame_idx, dtype=np.int64))
 
-        if ctx["mapping_dev"] is not None:
-            self._consume_mapping(ctx["mapping_dev"], frame_idx)
+        if mapping_np is not None:
+            self._consume_mapping(mapping_np, frame_idx)
 
         # Launch (async) optimization or mark lost track (reference: MACVO.py:300-311).
         if n_obs < MIN_NUM_POINT:
@@ -427,21 +433,20 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         if self.mapping:
             mapping_dev = self._dispatch_mapping(frame0, depth0, depth1, match01, prev_pose_dev)
 
-        # 4. Start the device->host copy now; it lands before next frame.
-        try:
-            packed_dev.copy_to_host_async()
-        except Exception:  # pragma: no cover - backend may not support async D2H
-            pass
+        # 4. Hand both packed arrays to the fetch thread: it blocks on the
+        #    link while this thread dispatches the next frame (ONE joined
+        #    round trip per frame, one frame late).
+        def fetch(p=packed_dev, m=mapping_dev):
+            return np.asarray(p), (None if m is None else np.asarray(m))
 
         # Push the new keyframe row now (indices must exist); its pose is
         # backfilled from the packed sync at consumption.
         frame_idx = self.push_keyframe(frame1, self.graph.frames.data["pose"][prev_idx])
         self._pending_sync = {
-            "packed_dev": packed_dev,
+            "fetch": self._fetch_pool.submit(fetch),
             "prev_idx": prev_idx,
             "frame_idx": frame_idx,
             "backfill_idx": backfill_idx,
-            "mapping_dev": mapping_dev,
             "seq_idx": frame1.frame_idx,
         }
         self.prev_keyframe = (frame1, frame_idx, depth1)
@@ -484,14 +489,9 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
             self._pipeline_cache[cache_key] = self._mapping_core(frame0.stereo)
         key = jax.random.fold_in(self._rng_key, 2 * self._frame_count + 1)
         # One packed (M,16) array: valid | pos_Tw 3 | cov_Tw 9 | color 3.
-        packed_dev = self._pipeline_cache[cache_key](
+        return self._pipeline_cache[cache_key](
             frame0.stereo.imageL, depth0, depth1, match01, prev_pose_dev, key,
         )
-        try:
-            packed_dev.copy_to_host_async()
-        except Exception:  # pragma: no cover - backend may not support async D2H
-            pass
-        return packed_dev
 
     def _consume_mapping(self, packed_dev, frame_idx: int) -> None:
         packed = np.asarray(packed_dev)
@@ -519,6 +519,7 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
             self.Optimizer.write_map(self.graph)
         self.Optimizer.terminate()
         self.MapRefiner.elaborate_map(self.graph.frames)
+        self._fetch_pool.shutdown(wait=False)
 
     def register_on_optimize_finish(self, func: T_SYSHOOK) -> None:
         self.on_optimize_writeback.append(func)

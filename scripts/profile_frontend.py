@@ -146,6 +146,67 @@ def main():
             return c + v[..., :2] * 1e-6
         scan_time(eft, coords, k_lo=2, k_hi=12, name="encode_flow_token x1")
 
+    if "perceiver_parts" in stages:
+        import flax.linen as nn
+        from macvo_tpu.models.flowformer.encoder import (
+            CrossAttention, SelfAttentionLayer, VerticalAttentionLayer,
+        )
+
+        n1 = h1 * w1
+        tokens = jax.random.normal(key, (B * n1, 80, 64), dt)
+        latents = jax.random.normal(key, (B * n1, 8, 128), dt)
+        grid = jax.random.normal(key, (B, h1, w1, 8, 128), dt)
+
+        class InputAttn(nn.Module):
+            @nn.compact
+            def __call__(self, lat, tok):
+                tp = nn.Dense(128, name="input_proj")(tok)
+                return lat + CrossAttention(128, 1, name="input_attn")(lat, tp)
+
+        m1 = InputAttn()
+        p1 = m1.init(key, latents, tokens)["params"]
+
+        def input_attn(l):
+            return m1.apply({"params": p1}, l, tokens)
+        scan_time(input_attn, latents, name="perceiver: input cross-attn")
+
+        m2 = SelfAttentionLayer(128)
+        p2 = m2.init(key, latents)["params"]
+
+        def intra(l):
+            return m2.apply({"params": p2}, l)
+        scan_time(intra, latents, name="perceiver: intra layer x1")
+
+        m3 = VerticalAttentionLayer(128, 64)
+        p3 = m3.init(key, grid, ctx)["params"]
+
+        def vert(g):
+            return m3.apply({"params": p3}, g, ctx)
+        scan_time(vert, grid, name="perceiver: vertical layer x1")
+
+        cost_maps2 = jax.random.normal(key, (B, n1, h1, w1), dt)
+
+        class Patchify(nn.Module):
+            @nn.compact
+            def __call__(self, cm):
+                b, n, hh, ww = cm.shape
+                p = 8
+                pad_h, pad_w = (-hh) % p, (-ww) % p
+                x = cm.reshape(b * n, hh, ww)
+                x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w)))
+                th, tw = (hh + pad_h) // p, (ww + pad_w) // p
+                x = x.reshape(b * n, th, p, tw, p).transpose(0, 1, 3, 2, 4)
+                patches = x.reshape(b * n, th * tw, p * p)
+                return nn.Dense(64, name="patch_embed")(patches)
+
+        m4 = Patchify()
+        p4 = m4.init(key, cost_maps2)["params"]
+
+        def patch(cm):
+            t = m4.apply({"params": p4}, cm)
+            return cm + jnp.mean(t).astype(cm.dtype) * 1e-6
+        scan_time(patch, cost_maps2, name="perceiver: patchify+embed")
+
     if "full" in stages:
         cfg = FlowFormerConfig(encoder_dtype=args.dtype, decoder_dtype=args.dtype,
                                inference_only=True)
