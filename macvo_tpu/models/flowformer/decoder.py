@@ -242,21 +242,23 @@ class MaskHead(nn.Module):
 
 class DecoderIteration(nn.Module):
     """One decoder step: cost lookup -> cross-attn -> GMA -> twin GRUs ->
-    fp32 convex upsample of flow and cov (covhead.py:85-135).
+    flow/cov deltas (covhead.py:85-135).
 
-    ``upsample_every_iter=False`` (inference) skips the per-iteration full-res
-    upsampling — only the final prediction is consumed at inference
-    (covhead.py:137-140 returns the last element anyway), so the scan carries
-    the upsample masks instead and the caller upsamples once."""
+    Mask heads and convex upsampling live OUTSIDE the scan (in
+    MemoryCovDecoder): they don't feed the recurrence, so inference applies
+    them once to the final nets, and training applies them to the stacked
+    per-iteration nets as one batched conv (12 small convs -> 1 large one).
+    ``emit_states=True`` (training) makes the scan emit per-iteration
+    low-res predictions + net states for that post-pass."""
 
     query_latent_dim: int = 64
     cost_latent_dim: int = 128
     dtype: Any = jnp.float32
-    upsample_every_iter: bool = True
+    emit_states: bool = True
 
     @nn.compact
     def __call__(self, carry, invariants):
-        flow_coords1, cov_coords1, flow_net, fcov_net, _, _ = carry
+        flow_coords1, cov_coords1, flow_net, fcov_net = carry
         coords0 = invariants["coords0"]
         cost_maps = invariants["cost_maps"]
         flow_inp = invariants["flow_inp"]
@@ -274,13 +276,16 @@ class DecoderIteration(nn.Module):
         q = nn.Dense(self.cost_latent_dim, dtype=dt, name="dec_q")(
             query.reshape(b * h1 * w1, 1, self.query_latent_dim)
         )
-        attn = nn.softmax(
-            jnp.einsum("nqd,nkd->nqk", q * self.cost_latent_dim**-0.5, mem_k,
-                       preferred_element_type=jnp.float32).astype(dt),
+        # Per-pixel 1x8 attention over the latent memory: VPU broadcast-
+        # multiply-reduce (a batched 1x8 matmul is all MXU tile padding).
+        scores = jnp.sum(
+            (q * self.cost_latent_dim**-0.5)[:, :, None, :] * mem_k[:, None, :, :],
             axis=-1,
-        )
+        ).astype(jnp.float32)
+        attn = nn.softmax(scores, axis=-1).astype(dt)      # (n, 1, K)
+        agg = jnp.sum(attn[..., None] * mem_v[:, None, :, :], axis=2)
         cost_global = nn.Dense(self.cost_latent_dim, dtype=dt, name="dec_out")(
-            jnp.einsum("nqk,nkd->nqd", attn, mem_v)
+            agg
         ).reshape(b, h1, w1, self.cost_latent_dim)
         corr = jnp.concatenate([cost_global, cost_forward], axis=-1)
 
@@ -294,20 +299,13 @@ class DecoderIteration(nn.Module):
         fcov_net = SepConvGRU(128, dtype=dt, name="cov_gru")(fcov_net, inp_cat)
         delta_cov = CovHead(dtype=dt, name="cov_head")(fcov_net).astype(jnp.float32)
 
-        # Mask heads run every iteration in BOTH modes so the parameter tree
-        # is identical between training and inference checkpoints.
-        up_mask = 0.25 * MaskHead(dtype=dt, name="flow_mask")(flow_net).astype(jnp.float32)
-        cmask = 0.25 * MaskHead(dtype=dt, name="cov_mask")(fcov_net).astype(jnp.float32)
-
         flow_coords1 = flow_coords1 + delta_flow
         cov_coords1 = cov_coords1 + delta_cov
-        if self.upsample_every_iter:
-            flow_up = upsample_convex(flow_coords1 - coords0, up_mask)
-            cov_up = upsample_convex(cov_coords1 - coords0, cmask)
-            out = (flow_up, cov_up)
+        if self.emit_states:
+            out = (flow_coords1 - coords0, cov_coords1 - coords0, flow_net, fcov_net)
         else:
             out = ()
-        return (flow_coords1, cov_coords1, flow_net, fcov_net, up_mask, cmask), out
+        return (flow_coords1, cov_coords1, flow_net, fcov_net), out
 
 
 class MemoryCovDecoder(nn.Module):
@@ -351,18 +349,22 @@ class MemoryCovDecoder(nn.Module):
             out_axes=0,
             length=self.decoder_depth,
         )
-        zero_mask = jnp.zeros((b, h1, w1, 64 * 9), jnp.float32)
-        init = (coords0, coords0, flow_net0, flow_net0, zero_mask, zero_mask)
+        init = (coords0, coords0, flow_net0, flow_net0)
         carry, ys = ScannedIteration(
             query_latent_dim=self.query_latent_dim,
             cost_latent_dim=self.cost_latent_dim,
             dtype=dt,
-            upsample_every_iter=not self.inference_only,
+            emit_states=not self.inference_only,
             name="iteration",
         )(init, invariants)
-        flow_coords1, cov_coords1, _, _, up_mask, cmask = carry
+        flow_coords1, cov_coords1, flow_net_f, fcov_net_f = carry
+
+        flow_mask_head = MaskHead(dtype=dt, name="flow_mask")
+        cov_mask_head = MaskHead(dtype=dt, name="cov_mask")
 
         if self.inference_only:
+            up_mask = 0.25 * flow_mask_head(flow_net_f).astype(jnp.float32)
+            cmask = 0.25 * cov_mask_head(fcov_net_f).astype(jnp.float32)
             flow_up = upsample_convex(flow_coords1 - coords0, up_mask)
             cov_up = upsample_convex(cov_coords1 - coords0, cmask)
             return {
@@ -372,7 +374,20 @@ class MemoryCovDecoder(nn.Module):
                 "cov_lowres": cov_coords1 - coords0,
             }
 
-        flow_ups, cov_ups = ys
+        # Training: one batched mask-head + upsample pass over ALL iterations
+        # (depth, B, h, w, C) -> (depth*B, h, w, C).
+        flows_lr, covs_lr, flow_nets, fcov_nets = ys
+        depth = flows_lr.shape[0]
+
+        def flat(x):
+            return x.reshape((depth * b,) + x.shape[2:])
+
+        up_masks = 0.25 * flow_mask_head(flat(flow_nets)).astype(jnp.float32)
+        cmasks = 0.25 * cov_mask_head(flat(fcov_nets)).astype(jnp.float32)
+        flow_ups = upsample_convex(flat(flows_lr), up_masks)
+        cov_ups = upsample_convex(flat(covs_lr), cmasks)
+        flow_ups = flow_ups.reshape((depth, b) + flow_ups.shape[1:])
+        cov_ups = cov_ups.reshape((depth, b) + cov_ups.shape[1:])
         return {
             "flow_predictions": flow_ups,          # (depth, B, 8H, 8W, 2)
             "cov_predictions": cov_ups,
