@@ -62,7 +62,10 @@ class CrossAttention(nn.Module):
     dim: int
     num_heads: int = 1
     # Below this q_len*k_len the MXU formulation is all padding; use the VPU.
-    tiny_threshold: int = 1024
+    # Measured on v5e @480x640: 8x8 intra attention 5.8 -> 1.1 ms/layer, but
+    # 8x80 got SLOWER (XLA materializes the (.., 8, 80, D) product) — so the
+    # cutoff sits between 64 and 640.
+    tiny_threshold: int = 128
 
     @nn.compact
     def __call__(self, q_in, kv_in):

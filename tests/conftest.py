@@ -18,9 +18,12 @@ import jax
 if os.environ.get("MACVO_TEST_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
-# f64 enabled suite-wide: the backend solver runs reference-grade float64 on
-# CPU (on TPU it runs f32 + local re-anchoring, exercised by the tpu marker).
-jax.config.update("jax_enable_x64", True)
+# f64 enabled suite-wide on CPU: the backend solver runs reference-grade
+# float64 there. On real-TPU runs (MACVO_TEST_PLATFORM=tpu) x64 stays off —
+# the chip computes f32 + local re-anchoring, which is exactly what the tpu
+# marker exercises.
+if os.environ.get("MACVO_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest

@@ -93,3 +93,25 @@ def test_sandbox_get_leaves(tmp_path):
     c1.new_child("a1")
     leaves = {s.folder.name for s in root.get_leaves()}
     assert leaves == {"a1", "b"}
+
+
+def test_cov_eigen_axes_and_colormap():
+    """Eigen-axis / colormap covariance rendering math (reference
+    Rerun_Visualize.py:119-152) — validated without the rerun sdk."""
+    from macvo_tpu.viz.rerun_viz import cov_det_colormap, cov_eigen_axes
+
+    rng = np.random.default_rng(0)
+    pos = rng.standard_normal((5, 3)).astype(np.float32)
+    A = rng.standard_normal((5, 3, 3))
+    cov = A @ A.transpose(0, 2, 1) + 0.1 * np.eye(3)
+
+    a, b = cov_eigen_axes(pos, cov)
+    assert a.shape == (15, 3) and b.shape == (15, 3)
+    # Segment midpoints are the point positions; half-length^2 = 0.01*eigval.
+    np.testing.assert_allclose((a + b) / 2, np.repeat(pos, 3, axis=0), atol=1e-5)
+    half = np.linalg.norm((a - b) / 2, axis=1).reshape(5, 3)
+    w = np.sort(np.linalg.eigvalsh(cov), axis=1)
+    np.testing.assert_allclose(np.sort(half, axis=1), 0.1 * np.sqrt(w), rtol=1e-6)
+
+    c = cov_det_colormap(cov)
+    assert c.shape == (5, 3) and (c >= 0).all() and (c <= 1).all()
