@@ -56,8 +56,9 @@ class VisualizerRegistry:
             mode = self.mode_of(name)
             if mode == "none":
                 return None
-            save_path = self.next_path(name) if mode == "image" else None
-            return fn(*args, mode=mode, save_path=save_path, **kwargs)
+            if "save_path" not in kwargs or kwargs["save_path"] is None:
+                kwargs["save_path"] = self.next_path(name) if mode == "image" else None
+            return fn(*args, mode=mode, **kwargs)
 
         wrapped.plot_name = name  # type: ignore[attr-defined]
         return wrapped

@@ -9,7 +9,8 @@ from __future__ import annotations
 import numpy as np
 
 from .interface import fig_plt
-from .plot_axes import flow_to_color, plot_correspondences, plot_scalar_map
+from .plot_axes import (flow_to_color, plot_correspondences, plot_gaussian_conf,
+                        plot_scalar_map)
 
 
 def _np(x):
@@ -68,8 +69,68 @@ def plot_istereo(depth_out, frame, mode=None, save_path=None):
 
 
 @fig_plt.register
-def plot_macvo(obs: dict, frame0, frame1, mode=None, save_path=None):
-    """Tracked-keypoint correspondence overlay (reference: plot_macvo)."""
+def plot_macvo(obs: dict, frame0, frame1, depth_out=None, match_out=None,
+               mode=None, save_path=None):
+    """Full-pipeline 2x2 grid (reference: Matplotlib_Visualize.py:284-314):
+    frame0, frame1 with tracked keypoints + flow-cov ellipses, sqrt depth
+    cov, and log flow cov-det."""
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 2, figsize=(12, 8))
+    axes[0, 0].imshow(_np(frame0.imageL)[0])
+    axes[0, 0].set_title("frame t left", loc="left")
+    axes[0, 0].axis("off")
+
+    img1 = _np(frame1.imageL)[0]
+    axes[0, 1].imshow(0.25 + 0.75 * img1)  # whiten=0.75 (reference :297)
+    kp2 = _np(obs["pixel2_uv"])
+    uv_cov = _np(obs.get("pixel2_uv_cov"))
+    if uv_cov is not None:
+        for i in range(0, len(kp2), max(1, len(kp2) // 64)):
+            c = np.array([[uv_cov[i, 0], uv_cov[i, 2]], [uv_cov[i, 2], uv_cov[i, 1]]])
+            plot_gaussian_conf(axes[0, 1], kp2[i], c)
+    axes[0, 1].scatter(kp2[:, 0], kp2[:, 1], s=2, marker=".", color="#d55e00")
+    axes[0, 1].set_title("frame t+1 keypoints + flow cov", loc="left")
+    axes[0, 1].axis("off")
+
+    if depth_out is not None and depth_out.cov is not None:
+        plot_scalar_map(axes[1, 0], np.sqrt(np.maximum(_np(depth_out.cov)[0, ..., 0], 0.0)),
+                        "depth cov (sqrt)")
+    else:
+        axes[1, 0].axis("off")
+    if match_out is not None and match_out.cov is not None:
+        mc = _np(match_out.cov)[0]
+        det = np.maximum(mc[..., 0] * mc[..., 1] - mc[..., 2] ** 2, 1e-12)
+        plot_scalar_map(axes[1, 1], np.log10(det), "pred cov_det (log)")
+    else:
+        axes[1, 1].axis("off")
+    return _save_or_show(fig, save_path)
+
+
+@fig_plt.register
+def plot_reprojerr(proj_kp1, kp2, cov2x2, frame1, mode=None, save_path=None):
+    """Reprojection-error overlay (reference: Matplotlib_Visualize.py:318-328):
+    whitened frame, predicted-cov ellipses at kp2, both keypoint sets, and
+    green correspondence segments."""
+    import matplotlib.pyplot as plt
+
+    proj_kp1, kp2, cov2x2 = _np(proj_kp1), _np(kp2), _np(cov2x2)
+    fig, ax = plt.subplots(figsize=(10, 7))
+    ax.imshow(0.25 + 0.75 * _np(frame1.imageL)[0])
+    for i in range(len(kp2)):
+        plot_gaussian_conf(ax, kp2[i], cov2x2[i])
+    ax.scatter(proj_kp1[:, 0], proj_kp1[:, 1], s=0.5, color="#0072b2")
+    ax.scatter(kp2[:, 0], kp2[:, 1], s=0.5, color="#d55e00")
+    for a, b in zip(proj_kp1, kp2):
+        ax.plot([a[0], b[0]], [a[1], b[1]], color="green", linewidth=1.0)
+    ax.set_title("Reprojection Error")
+    ax.axis("off")
+    return _save_or_show(fig, save_path)
+
+
+@fig_plt.register
+def plot_correspondence(obs: dict, frame0, frame1, mode=None, save_path=None):
+    """Side-by-side tracked-keypoint correspondences."""
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(12, 5))

@@ -115,3 +115,32 @@ def test_cov_eigen_axes_and_colormap():
 
     c = cov_det_colormap(cov)
     assert c.shape == (5, 3) and (c >= 0).all() and (c <= 1).all()
+
+
+def test_matplotlib_figure_builders(tmp_path):
+    """plot_macvo / plot_reprojerr grids produce files (reference:
+    Matplotlib_Visualize.py:284-328)."""
+    from types import SimpleNamespace
+
+    from macvo_tpu.viz.interface import fig_plt
+    from macvo_tpu.viz.matplotlib_viz import plot_macvo, plot_reprojerr
+
+    fig_plt.set_mode(None, "image")
+    fig_plt.set_save_dir(tmp_path)
+    rng = np.random.default_rng(0)
+    frame = SimpleNamespace(imageL=rng.uniform(size=(1, 48, 64, 3)).astype(np.float32))
+    kp = rng.uniform(0, 40, size=(20, 2)).astype(np.float32)
+    obs = {
+        "pixel1_uv": kp,
+        "pixel2_uv": kp + 1.0,
+        "pixel2_uv_cov": np.tile(np.array([1.0, 1.0, 0.1], np.float32), (20, 1)),
+    }
+    depth_out = SimpleNamespace(cov=rng.uniform(0.01, 1, size=(1, 48, 64, 1)))
+    match_out = SimpleNamespace(cov=rng.uniform(0.1, 1, size=(1, 48, 64, 3)))
+    p1 = plot_macvo(obs, frame, frame, depth_out, match_out,
+                    save_path=tmp_path / "macvo.png")
+    cov2 = np.tile(np.eye(2, dtype=np.float32)[None], (20, 1, 1))
+    p2 = plot_reprojerr(kp, kp + 1.0, cov2, frame, save_path=tmp_path / "reproj.png")
+    fig_plt.set_mode(None, "none")  # restore global gating for other tests
+    for p in (p1, p2):
+        assert p is not None and p.stat().st_size > 1000
