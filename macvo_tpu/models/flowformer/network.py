@@ -59,49 +59,67 @@ def _dtype(name: str):
 
 
 class FlowFormerCov(nn.Module):
-    """images (B,H,W,3) in [0,1] -> dict with flow/cov prediction stacks."""
+    """images (B,H,W,3) in [0,1] -> dict with flow/cov prediction stacks.
+
+    Exposes the encoder stages as separate methods (``features`` /
+    ``context`` / ``decode``) so the VO frontend can CACHE the previous
+    frame's Twins features on device: in the odometry loop frame t's left
+    image is re-encoded at t+1 as the flow-pair source, and the stereo/flow
+    pairs share the current left features — re-using both halves the
+    encoder work per frame with bit-identical results (the reference
+    re-runs the full fnet/cnet batch every frame, flownet.py:20-31)."""
 
     cfg: FlowFormerConfig = FlowFormerConfig()
 
-    @nn.compact
-    def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):
+    def setup(self):
         cfg = self.cfg
-        enc_dt = _dtype(cfg.encoder_dtype)
-        dec_dt = _dtype(cfg.decoder_dtype)
-
-        image1 = (2.0 * image1 - 1.0).astype(enc_dt)
-        image2 = (2.0 * image2 - 1.0).astype(enc_dt)
-
-        context = TwinsSVT(name="context_encoder")(image1)
-
-        # One fnet pass over the doubled batch instead of two half-size passes
-        # (fewer launches, better MXU utilization at small spatial sizes).
-        fnet = TwinsSVT(name="feature_encoder")
-        feats = fnet(jnp.concatenate([image1, image2], axis=0))
-        feat1, feat2 = jnp.split(feats, 2, axis=0)
-
-        cost_memory, cost_maps = MemoryEncoder(
+        self.context_encoder = TwinsSVT()
+        self.feature_encoder = TwinsSVT()
+        self.memory_encoder = MemoryEncoder(
             cost_latent_input_dim=cfg.cost_latent_input_dim,
             cost_latent_token_num=cfg.cost_latent_token_num,
             cost_latent_dim=cfg.cost_latent_dim,
             encoder_depth=cfg.encoder_depth,
             patch_size=cfg.patch_size,
             vert_c_dim=cfg.vert_c_dim,
-            name="memory_encoder",
-        )(feat1, feat2, context.astype(enc_dt))
-
-        # Decoder consumes fp32 cost maps / context (flownet.py:25-28).
-        cost_maps = cost_maps.astype(jnp.float32)
-        context = context.astype(jnp.float32)
-
-        return MemoryCovDecoder(
+        )
+        self.memory_decoder = MemoryCovDecoder(
             decoder_depth=cfg.decoder_depth,
             query_latent_dim=cfg.query_latent_dim,
             cost_latent_dim=cfg.cost_latent_dim,
-            dtype=dec_dt,
+            dtype=_dtype(cfg.decoder_dtype),
             inference_only=cfg.inference_only,
-            name="memory_decoder",
-        )(cost_memory, context, cost_maps)
+        )
+
+    def _normalize(self, images: jnp.ndarray) -> jnp.ndarray:
+        return (2.0 * images - 1.0).astype(_dtype(self.cfg.encoder_dtype))
+
+    def features(self, images: jnp.ndarray) -> jnp.ndarray:
+        """fnet features of [0,1] images (B,H,W,3) -> (B,H/8,W/8,256)."""
+        return self.feature_encoder(self._normalize(images))
+
+    def context(self, images: jnp.ndarray) -> jnp.ndarray:
+        """cnet context of [0,1] images (B,H,W,3) -> (B,H/8,W/8,256)."""
+        return self.context_encoder(self._normalize(images))
+
+    def decode(self, feat1: jnp.ndarray, feat2: jnp.ndarray, context: jnp.ndarray):
+        """Latent cost volume + recurrent decoder on precomputed features."""
+        enc_dt = _dtype(self.cfg.encoder_dtype)
+        cost_memory, cost_maps = self.memory_encoder(
+            feat1, feat2, context.astype(enc_dt)
+        )
+        # Decoder consumes fp32 cost maps / context (flownet.py:25-28).
+        return self.memory_decoder(
+            cost_memory, context.astype(jnp.float32), cost_maps.astype(jnp.float32)
+        )
+
+    def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):
+        context = self.context(image1)
+        # One fnet pass over the doubled batch instead of two half-size passes
+        # (fewer launches, better MXU utilization at small spatial sizes).
+        feats = self.features(jnp.concatenate([image1, image2], axis=0))
+        feat1, feat2 = jnp.split(feats, 2, axis=0)
+        return self.decode(feat1, feat2, context)
 
 
 class InputPadder:

@@ -78,6 +78,58 @@ class _FlowFormerRunner:
         cov = padder.unpad(normalize_cov(out["cov_final"]))
         return flow, cov
 
+    # -- feature-level entry points (device-resident feature cache) --------
+    def _apply(self, method: str, *args):
+        return self.model.apply({"params": self.params}, *args, method=method)
+
+    def _decode_unpad(self, padder, feat_a, feat_b, ctx):
+        out = self._apply("decode", feat_a, feat_b, ctx)
+        flow = padder.unpad(out["flow_final"])
+        cov = padder.unpad(normalize_cov(out["cov_final"]))
+        return flow, cov
+
+    def depth_traced(self, img_l: jnp.ndarray, img_r: jnp.ndarray):
+        """Stereo-only forward that also returns the left image's encoder
+        features (seeds the VO frontend's cross-frame cache)."""
+        padder = InputPadder(img_l.shape)
+        pl, pr = padder.pad(img_l, img_r)
+        f_l, f_r = jnp.split(self._apply("features", jnp.concatenate([pl, pr], 0)), 2, 0)
+        c_l = self._apply("context", pl)
+        flow, cov = self._decode_unpad(padder, f_l, f_r, c_l)
+        return flow, cov, (f_l, c_l)
+
+    def pair_cold_traced(self, l1: jnp.ndarray, l2: jnp.ndarray, r2: jnp.ndarray):
+        """Flow(l1->l2) + stereo(l2->r2) with no cache: encode all three
+        images, share fnet(l2) between the two pairs, return l2's features."""
+        padder = InputPadder(l1.shape)
+        pl1, pl2, pr2 = padder.pad(l1, l2, r2)
+        feats = self._apply("features", jnp.concatenate([pl1, pl2, pr2], 0))
+        f_l1, f_l2, f_r2 = jnp.split(feats, 3, 0)
+        c_l2, c_l1 = jnp.split(self._apply("context", jnp.concatenate([pl2, pl1], 0)), 2, 0)
+        flow, cov = self._decode_unpad(
+            padder,
+            jnp.concatenate([f_l2, f_l1], 0),
+            jnp.concatenate([f_r2, f_l2], 0),
+            jnp.concatenate([c_l2, c_l1], 0),
+        )
+        return flow, cov, (f_l2, c_l2)
+
+    def pair_cached_traced(self, l2, r2, f_l1, c_l1):
+        """Flow(l1->l2) + stereo(l2->r2) reusing the PREVIOUS frame's cached
+        fnet/cnet outputs for l1: only the two genuinely new images (l2, r2)
+        are encoded — half the Twins work of the cold path, identical math."""
+        padder = InputPadder(l2.shape)
+        pl2, pr2 = padder.pad(l2, r2)
+        f_l2, f_r2 = jnp.split(self._apply("features", jnp.concatenate([pl2, pr2], 0)), 2, 0)
+        c_l2 = self._apply("context", pl2)
+        flow, cov = self._decode_unpad(
+            padder,
+            jnp.concatenate([f_l2, f_l1], 0),
+            jnp.concatenate([f_r2, f_l2], 0),
+            jnp.concatenate([c_l2, c_l1], 0),
+        )
+        return flow, cov, (f_l2, c_l2)
+
     def inference(self, img_a: jnp.ndarray, img_b: jnp.ndarray):
         """One-dispatch inference: (B,H,W,3) x2 -> (flow, cov) (B,H,W,2)."""
         shape = tuple(img_a.shape)
@@ -129,6 +181,10 @@ class FlowFormerCovFrontend(IFrontend):
         self.runner = _FlowFormerRunner(config)
         self.enforce_positive = bool(getattr(config, "enforce_positive_disparity", False))
         self._jit_cache: dict = {}
+        # Cross-frame encoder cache: (source StereoData, fnet feats, cnet ctx)
+        # of the most recent frame. The strong reference to the StereoData
+        # keeps its id() valid for the identity check on the next call.
+        self._feat_cache: tuple | None = None
 
     @property
     def provide_cov(self) -> tuple[bool, bool]:
@@ -142,16 +198,20 @@ class FlowFormerCovFrontend(IFrontend):
 
         if kind == "depth":
             def fn(img_l, img_r, baseline, fx):
-                flow, cov = self.runner.forward_traced(img_l, img_r)
-                return _traced_flow_to_depth(flow, cov, baseline, fx, ep)
-        elif kind == "pair":
+                flow, cov, cache = self.runner.depth_traced(img_l, img_r)
+                return _traced_flow_to_depth(flow, cov, baseline, fx, ep), cache
+        elif kind == "pair_cold":
             def fn(l1, l2, r2, baseline, fx):
-                img_a = jnp.concatenate([l2, l1], axis=0)
-                img_b = jnp.concatenate([r2, l2], axis=0)
-                flow, cov = self.runner.forward_traced(img_a, img_b)
+                flow, cov, cache = self.runner.pair_cold_traced(l1, l2, r2)
                 depth = _traced_flow_to_depth(flow[0:1], cov[0:1], baseline, fx, ep)
                 match = _flow_to_match(flow[1:2], cov[1:2])
-                return depth, match
+                return depth, match, cache
+        elif kind == "pair_cached":
+            def fn(l2, r2, f_l1, c_l1, baseline, fx):
+                flow, cov, cache = self.runner.pair_cached_traced(l2, r2, f_l1, c_l1)
+                depth = _traced_flow_to_depth(flow[0:1], cov[0:1], baseline, fx, ep)
+                match = _flow_to_match(flow[1:2], cov[1:2])
+                return depth, match, cache
         else:  # triplet
             def fn(l1, r1, l2, r2, baseline, fx):
                 img_a = jnp.concatenate([l1, l2, l1], axis=0)
@@ -168,14 +228,29 @@ class FlowFormerCovFrontend(IFrontend):
 
     def estimate_depth(self, frame: StereoData) -> DepthOutput:
         fn = self._get("depth", tuple(frame.imageL.shape))
-        return fn(frame.imageL, frame.imageR,
-                  frame.baseline[0], frame.K[0, 0, 0])
+        depth, cache = fn(frame.imageL, frame.imageR,
+                          frame.baseline[0], frame.K[0, 0, 0])
+        self._feat_cache = (frame, *cache)
+        return depth
 
     def estimate_pair(self, frame_t1: StereoData, frame_t2: StereoData):
         with timer.cpu_time("Frontend.forward"):
-            fn = self._get("pair", tuple(frame_t1.imageL.shape))
-            return fn(frame_t1.imageL, frame_t2.imageL, frame_t2.imageR,
-                      frame_t2.baseline[0], frame_t2.K[0, 0, 0])
+            shape = tuple(frame_t1.imageL.shape)
+            cache = self._feat_cache
+            if cache is not None and cache[0] is frame_t1:
+                # Steady state: frame_t1's features were produced by the
+                # previous call — only encode the two new images.
+                fn = self._get("pair_cached", shape)
+                depth, match, new_cache = fn(
+                    frame_t2.imageL, frame_t2.imageR, cache[1], cache[2],
+                    frame_t2.baseline[0], frame_t2.K[0, 0, 0])
+            else:
+                fn = self._get("pair_cold", shape)
+                depth, match, new_cache = fn(
+                    frame_t1.imageL, frame_t2.imageL, frame_t2.imageR,
+                    frame_t2.baseline[0], frame_t2.K[0, 0, 0])
+            self._feat_cache = (frame_t2, *new_cache)
+            return depth, match
 
     def estimate_triplet(self, frame_t1: StereoData, frame_t2: StereoData):
         fn = self._get("triplet", tuple(frame_t1.imageL.shape))

@@ -45,7 +45,7 @@ def covariance_2to3_diag(sigma_uu, sigma_vv, sigma_dd, u, v, d, fx, fy, cx, cy) 
 
 
 def gather_patches(dense: jnp.ndarray, kp_uv: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
-    """Gather (K,K) patches of a dense (H,W) map around N keypoints -> (N,K,K).
+    """Extract (K,K) patches of a dense (H,W) map around N keypoints -> (N,K,K).
 
     ``patches[n, i, j] = dense[v_n + off_j, u_n + off_i]`` with offsets spanning
     ``[-K//2, K//2]`` — i indexes the u-offset, j the v-offset, aligning with
@@ -53,15 +53,26 @@ def gather_patches(dense: jnp.ndarray, kp_uv: jnp.ndarray, kernel_size: int) -> 
     Out-of-image taps clamp to the border (keypoints live inside the border
     margin, reference gathers rely on the same invariant:
     Project2to3.py:143-158).
+
+    TPU-native formulation — extraction as MATMUL, zero gathers: one-hot
+    column/row selector matrices turn the per-keypoint patch lookup into
+    (a) ONE shared dense matmul ``(H,W) @ (W, N*K)`` that slices all
+    keypoints' columns (MXU-perfect shapes) and (b) a batched (K,H)x(H,K)
+    row selection. A 2M-element random gather is the single most
+    TPU-hostile op in the mapping pipeline; as matmuls the whole dense-
+    mapping covariance path is FLOP-cheap MXU work.
     """
     h, w = dense.shape
     half = kernel_size // 2
     offsets = jnp.arange(-half, half + 1)
-    u_idx = kp_uv[:, 0].astype(jnp.int32)[:, None, None] + offsets[None, :, None]
-    v_idx = kp_uv[:, 1].astype(jnp.int32)[:, None, None] + offsets[None, None, :]
-    u_idx = jnp.clip(u_idx, 0, w - 1)
-    v_idx = jnp.clip(v_idx, 0, h - 1)
-    return dense[v_idx, u_idx]
+    u_idx = jnp.clip(kp_uv[:, 0].astype(jnp.int32)[:, None] + offsets[None], 0, w - 1)
+    v_idx = jnp.clip(kp_uv[:, 1].astype(jnp.int32)[:, None] + offsets[None], 0, h - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
+    sel_u = (u_idx[:, None, :] == cols).astype(dense.dtype)      # (N, W, K)
+    sel_v = (v_idx[:, None, :] == rows).astype(dense.dtype)      # (N, H, K)
+    tmp = jnp.einsum("hw,nwi->nhi", dense, sel_u)                # (N, H, K)
+    return jnp.einsum("nhj,nhi->nij", sel_v, tmp)                # (N, K, K)
 
 
 def _prepare_flow_cov(flow_cov, n, min_flow_cov, match_cov_default, has_flow_cov: bool):

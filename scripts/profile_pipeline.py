@@ -87,7 +87,7 @@ def main():
     def kp_stage(c):
         im, p = c
         packed = core(im, depth, depth, match, p, p, key)
-        return (im, p + packed[0, :7] * 1e-9)
+        return (im, p + jnp.mean(packed) * 1e-9 + packed[0, :7] * 0.0)
 
     scan_time(kp_stage, (img, pose), name="keypoint pipeline (fused)")
 
@@ -96,7 +96,7 @@ def main():
     def map_stage(c):
         im, p = c
         packed = mcore(im, depth, depth, match, p, key)
-        return (im, p + packed[0, 1:8] * 1e-9)
+        return (im, p + jnp.mean(packed) * 1e-9 + packed[0, 1:8] * 0.0)
 
     scan_time(map_stage, (img, pose), name="mapping pipeline (fused)")
 

@@ -1,0 +1,77 @@
+"""Cross-frame encoder feature cache parity.
+
+``FlowFormerCovFrontend`` caches frame t's fnet/cnet outputs on device and
+reuses them at t+1 (reference re-encodes every image every frame,
+Module/Frontend/Frontend.py:218-232). The cache must be a pure optimization:
+the cached steady-state path and the cold path compute the same math.
+"""
+
+from types import SimpleNamespace
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from macvo_tpu.data.frame import StereoData
+from macvo_tpu.modules.frontend_network import FlowFormerCovFrontend
+
+
+def _frame(key: int, h: int = 64, w: int = 96) -> StereoData:
+    rng = np.random.default_rng(key)
+    return StereoData(
+        T_BS=jnp.asarray([[1.0, 0, 0, 0, 0, 0, 0]]),
+        K=jnp.asarray([[[64.0, 0, w / 2], [0, 64.0, h / 2], [0, 0, 1.0]]]),
+        baseline=jnp.asarray([0.25]),
+        time_ns=jnp.asarray([key], jnp.int64),
+        imageL=jnp.asarray(rng.random((1, h, w, 3), np.float32)),
+        imageR=jnp.asarray(rng.random((1, h, w, 3), np.float32)),
+    )
+
+
+@pytest.fixture(scope="module")
+def frontend() -> FlowFormerCovFrontend:
+    return FlowFormerCovFrontend(SimpleNamespace(
+        weight="random:0", enc_dtype="fp32", dec_dtype="fp32",
+        decoder_depth=2, enforce_positive_disparity=False))
+
+
+def test_cached_pair_matches_cold(frontend: FlowFormerCovFrontend) -> None:
+    f1, f2 = _frame(1), _frame(2)
+
+    frontend._feat_cache = None
+    cold_depth, cold_match = frontend.estimate_pair(f1, f2)
+
+    # Seed the cache the way the odometry loop does (depth pass on f1 at
+    # initialize time, or the previous estimate_pair) and rerun.
+    frontend._feat_cache = None
+    frontend.estimate_depth(f1)
+    assert frontend._feat_cache is not None and frontend._feat_cache[0] is f1
+    hot_depth, hot_match = frontend.estimate_pair(f1, f2)
+    assert frontend._feat_cache[0] is f2  # cache rolled forward
+
+    # depth = bl*fx/disp amplifies float-level disparity jitter (different
+    # batch compositions fuse differently in XLA) — tolerance is relative.
+    np.testing.assert_allclose(
+        np.asarray(cold_depth.depth), np.asarray(hot_depth.depth),
+        rtol=5e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(cold_match.flow), np.asarray(hot_match.flow),
+        rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(cold_match.cov), np.asarray(hot_match.cov),
+        rtol=2e-3, atol=2e-4)
+
+
+def test_cache_miss_falls_back_to_cold(frontend: FlowFormerCovFrontend) -> None:
+    f1, f2, f3 = _frame(3), _frame(4), _frame(5)
+    frontend._feat_cache = None
+    frontend.estimate_pair(f1, f2)
+    # f3 is not the cached frame (f2): the frontend must take the cold path
+    # (keyframe skipping makes this legal in the real loop), not reuse f2.
+    depth_a, match_a = frontend.estimate_pair(f3, f2)
+    frontend._feat_cache = None
+    depth_b, match_b = frontend.estimate_pair(f3, f2)
+    np.testing.assert_allclose(
+        np.asarray(match_a.flow), np.asarray(match_b.flow), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(depth_a.depth), np.asarray(depth_b.depth), rtol=1e-5, atol=1e-5)
