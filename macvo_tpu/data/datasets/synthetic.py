@@ -66,14 +66,28 @@ def default_scene(seed: int = 7) -> list[_Plane]:
     ]
 
 
-def default_trajectory(n_frames: int) -> np.ndarray:
-    """(N,7) smooth forward motion with gentle yaw/pitch and lateral sway."""
+def default_trajectory(n_frames: int, seed: int | None = None) -> np.ndarray:
+    """(N,7) smooth forward motion with gentle yaw/pitch and lateral sway.
+
+    ``seed`` randomizes speed, sway and rotation amplitudes/frequencies so
+    training sequences present varied motion fields (a single fixed
+    trajectory would let a flow net memorize the motion instead of matching
+    texture); ``None`` keeps the canonical trajectory the E2E accuracy
+    bounds are pinned on."""
+    if seed is None:
+        speed, ay, az, fy_, fz_, a_yaw, a_pitch = 0.15, 0.4, 0.2, 2.0, 3.0, 0.06, 0.03
+    else:
+        rng = np.random.default_rng(seed)
+        speed = rng.uniform(0.08, 0.22)
+        ay, az = rng.uniform(0.1, 0.7), rng.uniform(0.05, 0.4)
+        fy_, fz_ = rng.uniform(1.0, 3.5), rng.uniform(1.5, 4.5)
+        a_yaw, a_pitch = rng.uniform(0.02, 0.12), rng.uniform(0.01, 0.06)
     poses = []
     for i in range(n_frames):
         s = i / max(n_frames - 1, 1)
-        t = np.array([2.0 * s * max(n_frames - 1, 1) * 0.15, 0.4 * np.sin(2.0 * s), 0.2 * np.sin(3.0 * s)])
-        yaw = 0.06 * np.sin(2.5 * s)
-        pitch = 0.03 * np.sin(1.7 * s)
+        t = np.array([2.0 * s * max(n_frames - 1, 1) * speed, ay * np.sin(fy_ * s), az * np.sin(fz_ * s)])
+        yaw = a_yaw * np.sin(2.5 * s)
+        pitch = a_pitch * np.sin(1.7 * s)
         twist = np.array([0.0, 0.0, 0.0, 0.0, pitch, yaw], dtype=np.float32)
         rot = np.asarray(se3.exp(twist))
         poses.append(np.concatenate([t.astype(np.float32), rot[3:]]))
@@ -170,8 +184,10 @@ class SyntheticStereo(SequenceBase[StereoFrame]):
         self.gt_pose_on = bool(getattr(cfg, "gtPose", True))
 
         seed = int(getattr(cfg, "seed", 7))
+        traj_seed = getattr(cfg, "traj_seed", None)
         self.renderer = SceneRenderer(default_scene(seed), self.K.astype(np.float64), W, H)
-        self.poses = default_trajectory(self.n_frames)
+        self.poses = default_trajectory(
+            self.n_frames, None if traj_seed is None else int(traj_seed))
         self._cache: dict[int, StereoFrame] = {}
         super().__init__(self.n_frames)
 

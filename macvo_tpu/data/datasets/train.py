@@ -43,7 +43,15 @@ class TrainPairDataset:
     noise/crop/cast).
     """
 
-    def __init__(self, configs: Sequence, transforms: Sequence | None = None) -> None:
+    def __init__(self, configs: Sequence, transforms: Sequence | None = None,
+                 stereo_prob: float = 0.0) -> None:
+        # With probability ``stereo_prob`` a drawn sample is the STEREO pair
+        # (imageL, imageR) with gt_flow = (-disparity, 0) derived from
+        # gt_depth — the same network serves both the temporal-flow and the
+        # stereo-disparity pass in the VO frontend (Frontend.py:218-232), so
+        # the disparity task is trained explicitly rather than hoped-for by
+        # generalization from temporal pairs.
+        self.stereo_prob = float(stereo_prob)
         configs = _to_ns_list(configs)
         with futures.ThreadPoolExecutor(max_workers=max(1, len(configs))) as ex:
             self.sequences: list[SequenceBase] = list(
@@ -83,17 +91,28 @@ class TrainPairDataset:
         for i in idx:
             f0, f1 = self.get_pair(int(i))
             s = f0.stereo
-            assert s.gt_flow is not None, "training needs gt_flow"
+            stereo = self.stereo_prob > 0 and rng.random() < self.stereo_prob \
+                and s.gt_depth is not None
+            assert stereo or s.gt_flow is not None, "training needs gt_flow"
             # Random crop (train-time augmentation; the reference center-crops
             # then scales — random crops see more of the image over an epoch).
             h0 = rng.integers(0, max(1, s.height - height))
             w0 = rng.integers(0, max(1, s.width - width))
             sl = (slice(None), slice(h0, h0 + height), slice(w0, w0 + width))
             img1.append(np.asarray(s.imageL)[sl])
-            img2.append(np.asarray(f1.stereo.imageL)[sl])
-            gt_flow.append(np.asarray(s.gt_flow)[sl])
-            if s.flow_mask is not None:
-                mask.append(np.asarray(s.flow_mask)[sl])
+            if stereo:
+                # Right camera sits at +baseline along +u: a point at depth d
+                # moves u -> u - fx*b/d (geometry/camera.py disparity model).
+                img2.append(np.asarray(s.imageR)[sl])
+                disp = float(s.fx) * float(s.frame_baseline) / np.maximum(
+                    np.asarray(s.gt_depth)[sl], 1e-6)
+                gt_flow.append(np.concatenate([-disp, np.zeros_like(disp)], -1))
+                mask.append(np.isfinite(disp))
+            else:
+                img2.append(np.asarray(f1.stereo.imageL)[sl])
+                gt_flow.append(np.asarray(s.gt_flow)[sl])
+                mask.append(np.ones(gt_flow[-1].shape[:-1] + (1,), bool)
+                            if s.flow_mask is None else np.asarray(s.flow_mask)[sl])
         batch = {
             "img1": np.concatenate(img1, 0).astype(np.float32),
             "img2": np.concatenate(img2, 0).astype(np.float32),

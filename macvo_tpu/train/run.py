@@ -143,7 +143,8 @@ def main() -> None:
     if hasattr(cfg.Data, "Sequences"):
         # Multi-sequence mixture + train-time transforms.
         dataset = TrainPairDataset(
-            cfg.Data.Sequences, getattr(cfg.Data, "transforms", None)
+            cfg.Data.Sequences, getattr(cfg.Data, "transforms", None),
+            stereo_prob=float(getattr(cfg.Data, "stereo_prob", 0.0)),
         )
         batches = dataset.batches(batch_size, h, w, seed=seed)
     else:
