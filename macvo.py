@@ -33,7 +33,16 @@ def main() -> None:
     parser.add_argument("--timing", action="store_true", help="enable the profiler")
     parser.add_argument("--saveplt", action="store_true",
                         help="save trajectory/error figures into the sandbox")
+    parser.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"],
+                        help="force the JAX backend (reference device directive, "
+                             "MACVO.py:52; default: environment's accelerator)")
     args = parser.parse_args()
+
+    if args.device is not None:
+        # Must happen before any jax computation; env vars alone are
+        # overridden by accelerator site hooks in some environments.
+        import jax
+        jax.config.update("jax_platforms", args.device)
 
     from macvo_tpu.data import DevicePrefetcher, SequenceBase, smart_transform
     from macvo_tpu.evaluation import evaluate_sandbox
