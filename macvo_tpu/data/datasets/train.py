@@ -165,4 +165,16 @@ def make_eval_pairs(seq: SequenceBase, height: int, width: int,
         if s.flow_mask is not None:
             d["flow_mask"] = np.asarray(s.flow_mask)[sl]
         out.append(d)
+        if s.gt_depth is not None:
+            # Stereo pair with disparity GT: the VO frontend runs the same
+            # network on (imageL, imageR), so eval tracks that task too.
+            disp = float(s.fx) * float(s.frame_baseline) / np.maximum(
+                np.asarray(s.gt_depth)[sl], 1e-6)
+            out.append({
+                "img1": d["img1"],
+                "img2": np.asarray(s.imageR)[sl].astype(np.float32),
+                "gt_flow": np.concatenate(
+                    [-disp, np.zeros_like(disp)], -1).astype(np.float32),
+                "flow_mask": np.isfinite(disp),
+            })
     return out

@@ -122,7 +122,11 @@ def test_train_pair_dataset_mixture():
 
     from macvo_tpu.data.datasets.synthetic import SyntheticStereo
     ev = make_eval_pairs(SyntheticStereo(dict(cfgs[0]["args"])), 48, 64, max_frames=2)
-    assert len(ev) == 2 and ev[0]["img1"].shape == (1, 48, 64, 3)
+    # Each frame contributes a temporal-flow pair AND a stereo-disparity pair.
+    assert len(ev) == 4 and ev[0]["img1"].shape == (1, 48, 64, 3)
+    stereo = ev[1]
+    assert stereo["gt_flow"][..., 0].max() < 0  # u-flow = -disparity
+    assert np.abs(stereo["gt_flow"][..., 1]).max() == 0
 
 
 def test_eval_fn_metrics(tiny_model):
