@@ -81,9 +81,16 @@ class CrossAttention(nn.Module):
         if q_len * k_len <= self.tiny_threshold:
             out = tiny_attention(split(q), split(k), split(v), hd**-0.5)
         else:
-            attn = jnp.einsum("...qhd,...khd->...hqk", split(q) * hd**-0.5, split(k))
+            # Transpose-first formulation: move heads ahead of the sequence
+            # axis and contract with plain "...qd,...kd->...qk" — XLA lowers
+            # the multi-free-dim "...qhd,...khd->...hqk" dot_general far
+            # worse on TPU (same finding as the Twins LSA, twins.py:52-55).
+            qh = jnp.moveaxis(split(q), -2, -3) * hd**-0.5   # (..., H, Q, D)
+            kh = jnp.moveaxis(split(k), -2, -3)
+            vh = jnp.moveaxis(split(v), -2, -3)
+            attn = jnp.einsum("...qd,...kd->...qk", qh, kh)
             attn = nn.softmax(attn, axis=-1)
-            out = jnp.einsum("...hqk,...khd->...qhd", attn, split(v))
+            out = jnp.moveaxis(jnp.einsum("...qk,...kd->...qd", attn, vh), -3, -2)
         out = out.reshape(out.shape[:-2] + (self.dim,))
         return nn.Dense(self.dim, name="proj")(out)
 
