@@ -20,6 +20,8 @@ Outputs: ``cost_memory (B*H1*W1, K=8, 128)`` and ``cost_maps
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -66,13 +68,22 @@ class CrossAttention(nn.Module):
     # 8x80 got SLOWER (XLA materializes the (.., 8, 80, D) product) — so the
     # cutoff sits between 64 and 640.
     tiny_threshold: int = 128
+    dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        # setup-style (attribute name == param name, identical tree to the
+        # previous compact form) so the fused-kernel path can address the
+        # projection layers individually (see CostPerceiverEncoder).
+        self.q = nn.Dense(self.dim, dtype=self.dtype)
+        self.k = nn.Dense(self.dim, dtype=self.dtype)
+        self.v = nn.Dense(self.dim, dtype=self.dtype)
+        self.proj = nn.Dense(self.dim, dtype=self.dtype)
+
     def __call__(self, q_in, kv_in):
         hd = self.dim // self.num_heads
-        q = nn.Dense(self.dim, name="q")(q_in)
-        k = nn.Dense(self.dim, name="k")(kv_in)
-        v = nn.Dense(self.dim, name="v")(kv_in)
+        q = self.q(q_in)
+        k = self.k(kv_in)
+        v = self.v(kv_in)
 
         def split(x):
             return x.reshape(x.shape[:-1] + (self.num_heads, hd))
@@ -92,7 +103,7 @@ class CrossAttention(nn.Module):
             attn = nn.softmax(attn, axis=-1)
             out = jnp.moveaxis(jnp.einsum("...qk,...kd->...qd", attn, vh), -3, -2)
         out = out.reshape(out.shape[:-2] + (self.dim,))
-        return nn.Dense(self.dim, name="proj")(out)
+        return self.proj(out)
 
 
 class SelfAttentionLayer(nn.Module):
@@ -101,12 +112,15 @@ class SelfAttentionLayer(nn.Module):
     dim: int
     num_heads: int = 8
     mlp_ratio: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(name="norm1")(x)
-        x = x + CrossAttention(self.dim, self.num_heads, name="attn")(h, h)
-        x = x + Mlp(self.dim * self.mlp_ratio, self.dim, name="mlp")(nn.LayerNorm(name="norm2")(x))
+        x = x + CrossAttention(self.dim, self.num_heads, dtype=self.dtype,
+                               name="attn")(h, h).astype(x.dtype)
+        x = x + Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,
+                    name="mlp")(nn.LayerNorm(name="norm2")(x)).astype(x.dtype)
         return x
 
 
@@ -118,25 +132,34 @@ class VerticalAttentionLayer(nn.Module):
     vert_c_dim: int
     num_heads: int = 8
     mlp_ratio: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context):
         # x: (B, H1, W1, K, D); context: (B, H1, W1, C_ctx)
         b, h1, w1, k, d = x.shape
-        ctx = nn.Dense(self.vert_c_dim, name="ctx_proj")(context)
+        ctx = nn.Dense(self.vert_c_dim, dtype=self.dtype, name="ctx_proj")(context)
         ctx = jnp.broadcast_to(ctx[:, :, :, None, :], (b, h1, w1, k, self.vert_c_dim))
-        h_in = jnp.concatenate([nn.LayerNorm(name="norm1")(x), ctx], axis=-1)
+        h_in = jnp.concatenate(
+            [nn.LayerNorm(name="norm1")(x).astype(ctx.dtype), ctx], axis=-1)
         # Batch over (B, W1, K); sequence = H1 (vertical).
         h_seq = h_in.transpose(0, 2, 3, 1, 4).reshape(b * w1 * k, h1, d + self.vert_c_dim)
-        attn_out = CrossAttention(self.dim, self.num_heads, name="attn")(h_seq, h_seq)
+        attn_out = CrossAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(h_seq, h_seq)
         attn_out = attn_out.reshape(b, w1, k, h1, d).transpose(0, 3, 1, 2, 4)
-        x = x + attn_out
-        x = x + Mlp(self.dim * self.mlp_ratio, self.dim, name="mlp")(nn.LayerNorm(name="norm2")(x))
+        x = x + attn_out.astype(x.dtype)
+        x = x + Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,
+                    name="mlp")(nn.LayerNorm(name="norm2")(x)).astype(x.dtype)
         return x
 
 
 class CostPerceiverEncoder(nn.Module):
-    """Cost maps -> latent cost memory (FlowFormer latentcostformer encoder)."""
+    """Cost maps -> latent cost memory (FlowFormer latentcostformer encoder).
+
+    ``fused_input=True`` (inference on TPU) runs the input stage — input
+    projection + latent cross-attention — as ONE Pallas kernel
+    (ops/latent_attn.py): the (B*H1*W1, T, 128) k/v intermediates never
+    touch HBM. Same parameters, same math (the chained input_proj -> k/v
+    Dense pairs are folded into single matmuls)."""
 
     cost_latent_input_dim: int = 64
     cost_latent_token_num: int = 8
@@ -144,6 +167,8 @@ class CostPerceiverEncoder(nn.Module):
     encoder_depth: int = 3
     patch_size: int = 8
     vert_c_dim: int = 64
+    fused_input: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, cost_maps: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
@@ -165,33 +190,62 @@ class CostPerceiverEncoder(nn.Module):
         n_tok = th * tw
         x = x.reshape(b * n1, th, p, tw, p).transpose(0, 1, 3, 2, 4)
         patches = x.reshape(b * n1, n_tok, p * p)
-        tokens = nn.Dense(self.cost_latent_input_dim, name="patch_embed")(patches)
+        tokens = nn.Dense(self.cost_latent_input_dim, dtype=self.dtype, name="patch_embed")(patches)
         # Linear positional encoding (cfg ``pe: linear``): a learned projection
         # of normalized patch-center coordinates — resolution-independent, so
         # one parameter set serves any input size (unlike a per-token table).
         ys = (jnp.arange(th, dtype=jnp.float32) + 0.5) / th
         xs = (jnp.arange(tw, dtype=jnp.float32) + 0.5) / tw
         coords = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(n_tok, 2)
-        pos = nn.Dense(self.cost_latent_input_dim, name="pos_proj")(2.0 * coords - 1.0)
+        pos = nn.Dense(self.cost_latent_input_dim, dtype=self.dtype, name="pos_proj")(2.0 * coords - 1.0)
         tokens = tokens + pos[None].astype(tokens.dtype)
 
         latents = self.param(
             "latents", nn.initializers.normal(0.02),
             (1, self.cost_latent_token_num, self.cost_latent_dim),
         )
-        latents = jnp.broadcast_to(
-            latents, (b * n1, self.cost_latent_token_num, self.cost_latent_dim)
-        )
-        tokens_proj = nn.Dense(self.cost_latent_dim, name="input_proj")(tokens)
-        x = latents + CrossAttention(self.cost_latent_dim, num_heads=1, name="input_attn")(
-            latents, tokens_proj
-        )
+        input_proj = nn.Dense(self.cost_latent_dim, dtype=self.dtype, name="input_proj")
+        input_attn = CrossAttention(self.cost_latent_dim, num_heads=1, dtype=self.dtype, name="input_attn")
+        if self.fused_input:
+            from ...ops.latent_attn import latent_cross_attention
+
+            dim, d_in = self.cost_latent_dim, self.cost_latent_input_dim
+            # Extract projection weights by probing the layers with identity /
+            # zero inputs (exact: y = xW + b), then fold input_proj into k/v.
+            eye_in = jnp.eye(d_in, dtype=jnp.float32)
+            eye_d = jnp.eye(dim, dtype=jnp.float32)
+            zero_in = jnp.zeros((1, d_in), jnp.float32)
+            zero_d = jnp.zeros((1, dim), jnp.float32)
+            b2 = input_proj(zero_in)
+            w2 = input_proj(eye_in) - b2
+            bk = input_attn.k(zero_d)
+            wk = input_attn.k(eye_d) - bk
+            bv = input_attn.v(zero_d)
+            wv = input_attn.v(eye_d) - bv
+            bp_ = input_attn.proj(zero_d)
+            wp = input_attn.proj(eye_d) - bp_
+            q_eff = input_attn.q(latents[0].astype(jnp.float32))      # (Q, dim)
+            x = latent_cross_attention(
+                tokens,
+                (w2 @ wk).astype(tokens.dtype), (b2 @ wk + bk)[0],
+                (w2 @ wv).astype(tokens.dtype), (b2 @ wv + bv)[0],
+                q_eff, wp.astype(jnp.float32),
+                (latents[0].astype(jnp.float32) + bp_),
+            ).astype(tokens.dtype)
+        else:
+            latents_b = jnp.broadcast_to(
+                latents, (b * n1, self.cost_latent_token_num, self.cost_latent_dim)
+            )
+            tokens_proj = input_proj(tokens)
+            x = latents_b.astype(tokens.dtype) + input_attn(latents_b, tokens_proj)
 
         for i in range(self.encoder_depth):
-            x = SelfAttentionLayer(self.cost_latent_dim, name=f"intra{i}")(x)
+            x = SelfAttentionLayer(self.cost_latent_dim, dtype=self.dtype,
+                                   name=f"intra{i}")(x)
             grid = x.reshape(b, h1, w1, self.cost_latent_token_num, self.cost_latent_dim)
             grid = VerticalAttentionLayer(
-                self.cost_latent_dim, self.vert_c_dim, name=f"inter{i}"
+                self.cost_latent_dim, self.vert_c_dim, dtype=self.dtype,
+                name=f"inter{i}"
             )(grid, context)
             x = grid.reshape(b * n1, self.cost_latent_token_num, self.cost_latent_dim)
         return x
@@ -206,6 +260,8 @@ class MemoryEncoder(nn.Module):
     encoder_depth: int = 3
     patch_size: int = 8
     vert_c_dim: int = 64
+    fused_input: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, feat1, feat2, context):
@@ -217,6 +273,8 @@ class MemoryEncoder(nn.Module):
             encoder_depth=self.encoder_depth,
             patch_size=self.patch_size,
             vert_c_dim=self.vert_c_dim,
+            fused_input=self.fused_input,
+            dtype=self.dtype,
             name="perceiver",
         )(cost_maps, context)
         return cost_memory, cost_maps

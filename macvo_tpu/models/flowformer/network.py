@@ -73,8 +73,9 @@ class FlowFormerCov(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.context_encoder = TwinsSVT()
-        self.feature_encoder = TwinsSVT()
+        enc_dt = _dtype(cfg.encoder_dtype)
+        self.context_encoder = TwinsSVT(dtype=enc_dt)
+        self.feature_encoder = TwinsSVT(dtype=enc_dt)
         self.memory_encoder = MemoryEncoder(
             cost_latent_input_dim=cfg.cost_latent_input_dim,
             cost_latent_token_num=cfg.cost_latent_token_num,
@@ -82,6 +83,10 @@ class FlowFormerCov(nn.Module):
             encoder_depth=cfg.encoder_depth,
             patch_size=cfg.patch_size,
             vert_c_dim=cfg.vert_c_dim,
+            dtype=enc_dt,
+            # Fused Pallas input stage: inference-path only (training needs
+            # gradients through the plain XLA formulation).
+            fused_input=cfg.inference_only and jax.default_backend() == "tpu",
         )
         self.memory_decoder = MemoryCovDecoder(
             decoder_depth=cfg.decoder_depth,

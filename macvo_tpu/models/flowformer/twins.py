@@ -17,7 +17,7 @@ window partitioning uses reshapes only (no gathers).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -26,12 +26,13 @@ import jax.numpy as jnp
 class Mlp(nn.Module):
     hidden: int
     out: int
+    dtype: Any = None   # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.gelu(x)
-        return nn.Dense(self.out)(x)
+        return nn.Dense(self.out, dtype=self.dtype)(x)
 
 
 class LocallyGroupedAttention(nn.Module):
@@ -45,6 +46,7 @@ class LocallyGroupedAttention(nn.Module):
     dim: int
     num_heads: int
     window: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -60,7 +62,7 @@ class LocallyGroupedAttention(nn.Module):
         hp, wp = h + pad_h, w + pad_w
         nh, nw = hp // ws, wp // ws
 
-        qkv = nn.Dense(3 * self.dim, name="qkv")(x_p)
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x_p)
         qkv = qkv.reshape(b, nh, ws, nw, ws, 3, self.num_heads, c // self.num_heads)
         # (3, b, nh, nw, heads, ws*ws, hd)
         qkv = qkv.transpose(5, 0, 1, 3, 6, 2, 4, 7).reshape(
@@ -81,7 +83,7 @@ class LocallyGroupedAttention(nn.Module):
         out = out.reshape(b, nh, nw, self.num_heads, ws, ws, c // self.num_heads)
         out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, hp, wp, c)
         out = out[:, :h, :w]
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
 class GlobalSubsampledAttention(nn.Module):
@@ -90,28 +92,29 @@ class GlobalSubsampledAttention(nn.Module):
     dim: int
     num_heads: int
     sr_ratio: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         hd = c // self.num_heads
-        q = nn.Dense(self.dim, name="q")(x).reshape(b, h * w, self.num_heads, hd)
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(x).reshape(b, h * w, self.num_heads, hd)
 
         kv_in = x
         if self.sr_ratio > 1:
             kv_in = nn.Conv(
                 self.dim, (self.sr_ratio, self.sr_ratio),
-                strides=(self.sr_ratio, self.sr_ratio), name="sr",
+                strides=(self.sr_ratio, self.sr_ratio), dtype=self.dtype, name="sr",
             )(x)
             kv_in = nn.LayerNorm(name="sr_norm")(kv_in)
         hk, wk = kv_in.shape[1], kv_in.shape[2]
-        kv = nn.Dense(2 * self.dim, name="kv")(kv_in).reshape(b, hk * wk, 2, self.num_heads, hd)
+        kv = nn.Dense(2 * self.dim, dtype=self.dtype, name="kv")(kv_in).reshape(b, hk * wk, 2, self.num_heads, hd)
         k, v = kv[:, :, 0], kv[:, :, 1]
 
         attn = jnp.einsum("bqhd,bkhd->bhqk", q * hd**-0.5, k)
         attn = nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, c)
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
 class Block(nn.Module):
@@ -121,15 +124,21 @@ class Block(nn.Module):
     use_window: bool
     sr_ratio: int = 1
     window: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         if self.use_window:
-            attn = LocallyGroupedAttention(self.dim, self.num_heads, self.window, name="attn")
+            attn = LocallyGroupedAttention(self.dim, self.num_heads, self.window,
+                                           dtype=self.dtype, name="attn")
         else:
-            attn = GlobalSubsampledAttention(self.dim, self.num_heads, self.sr_ratio, name="attn")
-        x = x + attn(nn.LayerNorm(name="norm1")(x))
-        x = x + Mlp(self.dim * self.mlp_ratio, self.dim, name="mlp")(nn.LayerNorm(name="norm2")(x))
+            attn = GlobalSubsampledAttention(self.dim, self.num_heads, self.sr_ratio,
+                                             dtype=self.dtype, name="attn")
+        # LayerNorms stay fp32 (cheap, precision-sensitive); the dtype-cast
+        # happens inside the attention/MLP projections.
+        x = x + attn(nn.LayerNorm(name="norm1")(x)).astype(x.dtype)
+        x = x + Mlp(self.dim * self.mlp_ratio, self.dim, dtype=self.dtype,
+                    name="mlp")(nn.LayerNorm(name="norm2")(x)).astype(x.dtype)
         return x
 
 
@@ -137,12 +146,14 @@ class PosConv(nn.Module):
     """PEG: depthwise 3x3 conv positional encoding (Twins)."""
 
     dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         return x + nn.Conv(
-            self.dim, (3, 3), padding="SAME", feature_group_count=self.dim, name="proj"
-        )(x)
+            self.dim, (3, 3), padding="SAME", feature_group_count=self.dim,
+            dtype=self.dtype, name="proj"
+        )(x).astype(x.dtype)
 
 
 class TwinsSVT(nn.Module):
@@ -155,21 +166,24 @@ class TwinsSVT(nn.Module):
     mlp_ratios: Sequence[int] = (4, 4)
     patch_sizes: Sequence[int] = (4, 2)
     window: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype or x.dtype
         for s, dim in enumerate(self.embed_dims):
             p = self.patch_sizes[s]
-            x = nn.Conv(dim, (p, p), strides=(p, p), name=f"patch_embed{s}")(x)
-            x = nn.LayerNorm(name=f"embed_norm{s}")(x)
+            x = nn.Conv(dim, (p, p), strides=(p, p), dtype=self.dtype,
+                        name=f"patch_embed{s}")(x)
+            x = nn.LayerNorm(name=f"embed_norm{s}")(x).astype(dt)
             for i in range(self.depths[s]):
                 x = Block(
                     dim, self.num_heads[s], self.mlp_ratios[s],
                     use_window=(i % 2 == 0), sr_ratio=self.sr_ratios[s],
-                    window=self.window,
+                    window=self.window, dtype=self.dtype,
                     name=f"stage{s}_block{i}",
                 )(x)
                 if i == 0:
-                    x = PosConv(dim, name=f"peg{s}")(x)
-            x = nn.LayerNorm(name=f"stage_norm{s}")(x)
+                    x = PosConv(dim, dtype=self.dtype, name=f"peg{s}")(x)
+            x = nn.LayerNorm(name=f"stage_norm{s}")(x).astype(dt)
         return x

@@ -75,3 +75,31 @@ def test_cache_miss_falls_back_to_cold(frontend: FlowFormerCovFrontend) -> None:
         np.asarray(match_a.flow), np.asarray(match_b.flow), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(depth_a.depth), np.asarray(depth_b.depth), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_latent_attention_interpret_matches_xla():
+    """Pallas interpret-mode parity of the fused perceiver input stage
+    (CPU-safe twin of the on-chip test in test_tpu.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from macvo_tpu.ops.latent_attn import (
+        latent_cross_attention,
+        latent_cross_attention_xla,
+    )
+
+    n, t, d_in, d, nq = 40, 16, 64, 128, 8
+    keys = jax.random.split(jax.random.PRNGKey(7), 8)
+    tokens = jax.random.normal(keys[0], (n, t, d_in), jnp.float32)
+    wk = jax.random.normal(keys[1], (d_in, d)) * 0.1
+    bk = jax.random.normal(keys[2], (d,)) * 0.1
+    wv = jax.random.normal(keys[3], (d_in, d)) * 0.1
+    bv = jax.random.normal(keys[4], (d,)) * 0.1
+    q = jax.random.normal(keys[5], (nq, d))
+    wp = jax.random.normal(keys[6], (d, d)) * 0.1
+    bias = jax.random.normal(keys[7], (nq, d))
+
+    out = np.asarray(latent_cross_attention(
+        tokens, wk, bk, wv, bv, q, wp, bias, block_pixels=16, interpret=True))
+    ref = np.asarray(latent_cross_attention_xla(tokens, wk, bk, wv, bv, q, wp, bias))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

@@ -135,3 +135,29 @@ def test_frontend_inference_finite_on_tpu():
     cov = np.asarray(normalize_cov(out["cov_final"]))
     assert np.isfinite(flow).all() and np.isfinite(cov).all()
     assert (cov > 0).all()
+
+
+@requires_tpu
+def test_fused_latent_attention_matches_xla_on_tpu(rng):
+    """The fused perceiver input-stage kernel (ops/latent_attn.py) vs its
+    XLA twin, executing on the chip."""
+    from macvo_tpu.ops.latent_attn import (
+        latent_cross_attention,
+        latent_cross_attention_xla,
+    )
+
+    n, t, d_in, d, nq = 384, 80, 64, 128, 8
+    keys = jax.random.split(jax.random.PRNGKey(7), 8)
+    tokens = jax.random.normal(keys[0], (n, t, d_in), jnp.bfloat16)
+    wk = jax.random.normal(keys[1], (d_in, d), jnp.bfloat16) * 0.1
+    bk = jax.random.normal(keys[2], (d,), jnp.float32) * 0.1
+    wv = jax.random.normal(keys[3], (d_in, d), jnp.bfloat16) * 0.1
+    bv = jax.random.normal(keys[4], (d,), jnp.float32) * 0.1
+    q = jax.random.normal(keys[5], (nq, d), jnp.float32)
+    wp = jax.random.normal(keys[6], (d, d), jnp.float32) * 0.1
+    bias = jax.random.normal(keys[7], (nq, d), jnp.float32)
+
+    out = np.asarray(latent_cross_attention(tokens, wk, bk, wv, bv, q, wp, bias))
+    ref = np.asarray(latent_cross_attention_xla(tokens, wk, bk, wv, bv, q, wp, bias))
+    assert out.shape == (n, nq, d)
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
