@@ -51,10 +51,17 @@ class TwoFrameData(NamedTuple):
     mask: jnp.ndarray         # (N,) bool validity
 
 
+def _safe_x(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Sign-preserving clamp away from zero: one degenerate landmark (x ~ 0,
+    on/behind the image plane) must yield a large-but-finite residual the
+    Huber kernel can downweight, never a NaN that poisons the reductions."""
+    return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
+
+
 def _project_ned(points: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
-    x = points[..., 0]
+    x = _safe_x(points[..., 0])
     u = fx * points[..., 1] / x + cx
     v = fy * points[..., 2] / x + cy
     return jnp.stack([u, v], axis=-1)
@@ -63,7 +70,7 @@ def _project_ned(points: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
 def _pinhole_jacobian(q: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     """d(pi)/dq for NED pinhole, (N,2,3) (reference: Graphs.py:176-190)."""
     fx, fy = K[0, 0], K[1, 1]
-    x, y, z = q[..., 0], q[..., 1], q[..., 2]
+    x, y, z = _safe_x(q[..., 0]), q[..., 1], q[..., 2]
     x2 = jnp.square(x)
     zero = jnp.zeros_like(x)
     row_u = jnp.stack([-fx * y / x2, fx / x, zero], axis=-1)
@@ -111,11 +118,11 @@ def _reproj_disp_terms(pose, data: TwoFrameData):
     q, J_q = _reproj_q_jacobian(pose, data.points_w)
     fx = data.K[0, 0]
     reproj = _project_ned(q, data.K) - data.kp2
-    disp_r = fx * data.baseline / q[..., 0] - data.disp2
+    disp_r = fx * data.baseline / _safe_x(q[..., 0]) - data.disp2
     r = jnp.concatenate([reproj, disp_r[..., None]], axis=-1)
 
     J_reproj = jnp.einsum("nij,njk->nik", _pinhole_jacobian(q, data.K), J_q)
-    d_disp_dx = -(fx * data.baseline) / jnp.square(q[..., 0])
+    d_disp_dx = -(fx * data.baseline) / jnp.square(_safe_x(q[..., 0]))
     J_disp = d_disp_dx[..., None, None] * J_q[..., 0:1, :]
     J = jnp.concatenate([J_reproj, J_disp], axis=-2)
 
@@ -171,10 +178,19 @@ def unpack_two_frame(packed: jnp.ndarray) -> TwoFrameData:
         jnp.stack([fx, zero, cx]), jnp.stack([zero, fy, cy]),
         jnp.stack([zero, zero, one]),
     ])
+    mask = packed[:cap, 32] > 0.5
+    # Padded rows carry zeros; a zero world point projects through x=0 and
+    # the resulting NaN defeats the mask (NaN * 0 = NaN poisons every
+    # reduction — with an identity init, as in the Local re-anchored solve,
+    # this silently froze the pose). Give padded rows a benign point at
+    # unit depth instead.
+    benign = jnp.asarray([1.0, 0.0, 0.0], packed.dtype)
+    points_w = jnp.where(mask[:, None], packed[:cap, 0:3], benign)
+    points_c = jnp.where(mask[:, None], packed[:cap, 3:6], benign)
     return TwoFrameData(
         pose0=aux[0:7],
-        points_w=packed[:cap, 0:3],
-        points_c=packed[:cap, 3:6],
+        points_w=points_w,
+        points_c=points_c,
         kp2=packed[:cap, 6:8],
         disp2=packed[:cap, 8],
         cov_obs_c=packed[:cap, 9:18].reshape(cap, 3, 3),
@@ -183,7 +199,7 @@ def unpack_two_frame(packed: jnp.ndarray) -> TwoFrameData:
         disp2_cov=packed[:cap, 31],
         K=K,
         baseline=aux[11],
-        mask=packed[:cap, 32] > 0.5,
+        mask=mask,
     )
 
 

@@ -113,3 +113,37 @@ def test_solver_noise_weighted():
     pose = solve_two_frame(data_w, graph_type="icp")
     err = float(jnp.linalg.norm(se3.log(se3.mul(se3.inv(true_pose), pose))))
     assert err < 0.02, f"weighted solve error too large: {err}"
+
+
+@pytest.mark.parametrize("graph_type", ["reproj", "disp"])
+def test_packed_solver_identity_init_with_padding(graph_type):
+    """Regression: zero-padded rows project through x=0 at an IDENTITY init
+    (the Local re-anchored steady state) — the NaN used to defeat the mask
+    (NaN * 0 = NaN) and silently freeze every pose at its initialization."""
+    from macvo_tpu.backend.solver import pack_two_frame, solve_two_frame_packed
+
+    data, true_pose = make_problem(n=24, init_twist=(0.0,) * 6)
+    # Re-anchor so the init pose is exactly identity (true pose = the motion).
+    anchor = data.pose0
+    data = data._replace(
+        pose0=jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], jnp.float64),
+        points_w=se3.act(se3.inv(anchor), data.points_w),
+    )
+    true_local = se3.mul(se3.inv(anchor), true_pose)
+
+    pad = 40
+    def pad0(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+    padded = data._replace(
+        points_w=pad0(data.points_w), points_c=pad0(data.points_c),
+        kp2=pad0(data.kp2), disp2=pad0(data.disp2),
+        cov_obs_c=pad0(data.cov_obs_c), cov_pts_w=pad0(data.cov_pts_w),
+        cov_kp2=pad0(data.cov_kp2), disp2_cov=pad0(data.disp2_cov),
+        mask=jnp.concatenate([data.mask, jnp.zeros((pad,), bool)]),
+    )
+    pose = solve_two_frame_packed(
+        jnp.asarray(pack_two_frame(jax.tree.map(np.asarray, padded))),
+        graph_type=graph_type)
+    assert np.isfinite(np.asarray(pose)).all()
+    err = float(jnp.linalg.norm(se3.log(se3.mul(se3.inv(true_local), pose))))
+    assert err < 1e-4, f"{graph_type}: pose error {err} (solver froze?)"
