@@ -24,6 +24,10 @@ T_GraphOutput = TypeVar("T_GraphOutput")
 
 
 class IOptimizer(RegisteredConfigTestable, Generic[T_GraphInput, T_GraphOutput], register=False):
+    #: True when the subclass can consume the odometry pipeline's packed sync
+    #: array device-side (zero host round trips) via ``start_optimize_device``.
+    supports_device_chaining = False
+
     def __init__(self, config: SimpleNamespace) -> None:
         self.config = config
         self.context: Any = self.init_context(config)

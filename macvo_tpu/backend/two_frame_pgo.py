@@ -19,6 +19,7 @@ compiled solve.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from types import SimpleNamespace
 from typing import Any, Optional
 
@@ -34,6 +35,85 @@ from .solver import pack_two_frame, solve_two_frame_packed
 
 # -- small host-side SE3 helpers (numpy; avoids device dispatches for
 #    problem assembly) -----------------------------------------------------------
+
+@jax.jit
+def _anchored_pose(anchor: jnp.ndarray, local_pose: jnp.ndarray) -> jnp.ndarray:
+    from ..geometry import se3
+
+    return se3.normalize(se3.mul(anchor, local_pose))
+
+
+@partial(jax.jit, static_argnames=("graph_type",))
+def solve_sync_packed(sync: jnp.ndarray, anchor: jnp.ndarray, cam: jnp.ndarray,
+                      baseline: jnp.ndarray, graph_type: str) -> jnp.ndarray:
+    """Device-chained two-frame solve: consume the odometry pipeline's packed
+    sync array DIRECTLY on device — the LM problem never touches the host.
+
+    The reference pipelines the backend behind a process boundary
+    (Module/Optimization/Interface.py:80-96); the round-1 port pipelined it
+    behind XLA async dispatch but still assembled the problem from the HOST
+    map, which put one device->host round trip on the critical path — ~90 ms
+    on a remote-attached TPU, dwarfing the ~40 ms of device compute. Here the
+    (K+1, 52) sync array (odometry/layout.py) IS the problem: world landmarks
+    re-anchor to the previous keyframe's frame (Local_TwoFrame_PGO semantics —
+    the anchor transform reduces to using the frame-0 camera-frame
+    backprojection and obs1 covariance directly), the masked solve runs
+    in-trace, and lost-track (< MIN_NUM_POINT survivors) returns the motion
+    prediction, exactly like the host path (Odometry/MACVO.py:300-311).
+
+    ``cam`` = (fx, fy, cx, cy). Returns the WORLD pose of the new frame.
+    """
+    from ..geometry import camera, se3
+    from ..odometry.layout import COL_KEEP, MIN_NUM_POINT, OBS_COLS
+    from .solver import TwoFrameData, solve_two_frame
+
+    k = sync.shape[0] - 1
+    rows, aux = sync[:k], sync[k]
+    est_pose = aux[0:7]
+
+    def col(name):
+        lo, hi = OBS_COLS[name]
+        return rows[:, lo:hi]
+
+    fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
+    zero = jnp.zeros((), sync.dtype)
+    one = jnp.ones((), sync.dtype)
+    K = jnp.stack([
+        jnp.stack([fx, zero, cx]), jnp.stack([zero, fy, cy]),
+        jnp.stack([zero, zero, one]),
+    ])
+    keep = rows[:, COL_KEEP] > 0.5
+
+    # Local re-anchoring in the previous keyframe's camera frame: the world
+    # landmark pos0_Tw = anchor . backproject(pixel1) and cov0_Tw =
+    # R cov_c R^T, so inv(anchor)-transforming them is just the camera-frame
+    # quantities — no transform needed at all.
+    pts_local = camera.pixel_to_point_ned(col("pixel1_uv"), col("pixel1_d")[:, 0], K)
+    pts_c1 = camera.pixel_to_point_ned(col("pixel2_uv"), col("pixel2_d")[:, 0], K)
+    uvc = col("pixel2_uv_cov")  # (sigma_uu, sigma_vv, sigma_uv)
+    cov_kp2 = jnp.stack([
+        jnp.stack([uvc[:, 0], uvc[:, 2]], -1),
+        jnp.stack([uvc[:, 2], uvc[:, 1]], -1),
+    ], -2)
+    data = TwoFrameData(
+        pose0=se3.mul(se3.inv(anchor), est_pose).astype(sync.dtype),
+        points_w=pts_local,
+        points_c=pts_c1,
+        kp2=col("pixel2_uv"),
+        disp2=col("pixel2_disp")[:, 0],
+        cov_obs_c=col("obs2_covTc").reshape(k, 3, 3),
+        cov_pts_w=col("obs1_covTc").reshape(k, 3, 3),
+        cov_kp2=cov_kp2,
+        disp2_cov=col("pixel2_disp_cov")[:, 0],
+        K=K,
+        baseline=baseline,
+        mask=keep,
+    )
+    pose_local = solve_two_frame(data, graph_type=graph_type)
+    pose_w = se3.normalize(se3.mul(anchor, pose_local))
+    lost = keep.sum() < MIN_NUM_POINT
+    return jnp.where(lost, se3.normalize(est_pose), pose_w)
+
 
 def _np_quat_rotmat(q: np.ndarray) -> np.ndarray:
     x, y, z, w = q
@@ -169,7 +249,29 @@ class Local_TwoFrame_PGO(TwoFrame_PGO):
     (reference: Optimizer.py:111-150): points and covariances are transformed
     by T_w2o before the solve and the result is mapped back — keeps the
     problem well-conditioned in km-scale scenes and makes f32 sufficient.
-    All re-anchoring math is host numpy (the packed array is host-side)."""
+    All re-anchoring math is host numpy (the packed array is host-side).
+
+    Also supports DEVICE CHAINING (``start_optimize_device``): the odometry
+    loop hands the solve its device-resident packed sync array and anchor
+    pose, so the backend runs with ZERO host round trips on the critical
+    path (see ``solve_sync_packed``)."""
+
+    supports_device_chaining = True
+
+    def start_optimize_device(self, sync_packed: jnp.ndarray, anchor: jnp.ndarray,
+                              cam: jnp.ndarray, baseline: jnp.ndarray,
+                              frame_idx: int) -> None:
+        """Dispatch the solve straight from the pipeline's device arrays.
+        Returns immediately; the pose stays a device handle until consumed
+        (take_pending for the next frame's registration, write_map at
+        termination)."""
+        assert self._pending is None, "start_optimize called while a job is pending"
+        pose = solve_sync_packed(
+            sync_packed, anchor, cam, baseline, self.context["graph_type"]
+        )
+        self._pending = GraphOutput(
+            frame_idx=frame_idx, from_idx=frame_idx - 1, pose=pose
+        )
 
     def get_graph_data(self, global_map: VisualMap, frame_idx: int) -> GraphInput:
         gi = super().get_graph_data(global_map, frame_idx)
@@ -189,11 +291,12 @@ class Local_TwoFrame_PGO(TwoFrame_PGO):
 
     def _optimize(self, context: Any, graph_data: GraphInput) -> tuple[Any, GraphOutput]:
         context, out = super()._optimize(context, graph_data)
-        # Map the local-frame solution back to world — tiny async device ops.
-        from ..geometry import se3
-
-        anchor = jnp.asarray(self._T_o2w, out.pose.dtype)
-        out.pose = se3.normalize(se3.mul(anchor, out.pose))
+        # Map the local-frame solution back to world: ONE jitted dispatch.
+        # (Eagerly, se3.mul + normalize are ~20 primitives = ~20 RPCs per
+        # frame on a remote-attached TPU — measurable against the whole
+        # frame budget.)
+        anchor = jnp.asarray(self._T_o2w, jnp.float32)
+        out.pose = _anchored_pose(anchor, out.pose.astype(jnp.float32))
         return context, out
 
 

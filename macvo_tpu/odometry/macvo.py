@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import concurrent.futures as futures
 import dataclasses
+from collections import deque
 from types import SimpleNamespace
 from typing import Callable, Optional
 
@@ -40,23 +41,16 @@ from ..utils.registry import ConfigTestable
 from ..worldmap import VisualMap
 from .interface import IOdometry
 
-MIN_NUM_POINT = 10  # lost-track threshold (reference: Odometry/MACVO.py:64)
-
-# Packed per-frame sync layout: ONE (K+1, 52) float32 array carries everything
-# the host needs — a tuple of ~25 small arrays costs ~25 link round-trips on a
-# remote TPU (measured 705 ms/frame); one array costs one.
-OBS_LAYOUT: list[tuple[str, int]] = [
-    ("pixel1_uv", 2), ("pixel2_uv", 2), ("pixel1_d", 1), ("pixel2_d", 1),
-    ("pixel1_disp", 1), ("pixel2_disp", 1), ("pixel1_disp_cov", 1),
-    ("pixel2_disp_cov", 1), ("pixel1_uv_cov", 3), ("pixel2_uv_cov", 3),
-    ("pixel1_d_cov", 1), ("pixel2_d_cov", 1), ("obs1_covTc", 9), ("obs2_covTc", 9),
-]
-_OBS_WIDTH = sum(w for _, w in OBS_LAYOUT)           # 36
-_COL_KEEP = _OBS_WIDTH                                # 36
-_COL_POS = (_COL_KEEP + 1, _COL_KEEP + 4)             # 37:40 pos0_Tw
-_COL_COV = (_COL_POS[1], _COL_POS[1] + 9)             # 40:49 cov0_Tw
-_COL_COLOR = (_COL_COV[1], _COL_COV[1] + 3)           # 49:52 color
-PACKED_SYNC_WIDTH = _COL_COLOR[1]                     # 52
+# Layout shared with the device-chained backend (see odometry/layout.py).
+from .layout import (  # noqa: E402
+    MIN_NUM_POINT,
+    OBS_LAYOUT,
+    PACKED_SYNC_WIDTH,
+)
+from .layout import COL_COLOR as _COL_COLOR  # noqa: E402
+from .layout import COL_COV as _COL_COV  # noqa: E402
+from .layout import COL_KEEP as _COL_KEEP  # noqa: E402
+from .layout import COL_POS as _COL_POS  # noqa: E402
 
 
 class MACVO(IOdometry[StereoFrame], ConfigTestable):
@@ -109,12 +103,24 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         self._pipeline_cache: dict = {}
         self._rng_key = jax.random.PRNGKey(0)
         self._frame_count = 0
-        self._pending_sync: Optional[dict] = None
-        # One background thread owns all device->host fetches: the main
-        # thread never blocks on the link (a dependent round trip costs
-        # ~37 ms on a remote-tunnel TPU); the fetch overlaps the next frame's
-        # dispatches and is joined one frame later.
-        self._fetch_pool = futures.ThreadPoolExecutor(max_workers=1)
+        # FIFO of in-flight packed syncs. With a device-chained backend the
+        # solve consumes the packed array ON DEVICE, so these fetches are pure
+        # host-map bookkeeping: they may lag several frames (bounded by
+        # _max_sync_lag) — the frame period then tracks device compute, not
+        # the device->host link latency (~90 ms RTT on a remote tunnel).
+        self._sync_queue: deque[dict] = deque()
+        # Device chaining needs the frontend's covariances (the in-trace LM
+        # whitens with them); GT/cov-less frontends keep the host path.
+        self._device_chain = bool(
+            getattr(optimizer, "supports_device_chaining", False)
+            and all(getattr(frontend, "provide_cov", (False, False)))
+        )
+        self._max_sync_lag = 4 if self._device_chain else 1
+        self._cam_dev = None          # (fx, fy, cx, cy) device vector
+        self._baseline_dev = None
+        # Fetch threads own all device->host copies: the main thread never
+        # blocks on the link; each fetch overlaps later frames' dispatches.
+        self._fetch_pool = futures.ThreadPoolExecutor(max_workers=2)
 
     # -- config ---------------------------------------------------------------
     @classmethod
@@ -319,24 +325,29 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         prev_pose = packed[n, 7:14].astype(np.float32)
         return obs, keep, pos0_Tw, cov0_Tw, color, est_pose, prev_pose
 
-    def _consume_pending_sync(self) -> None:
-        """Materialize the previous pair's packed sync, register its factor
-        graph on the host, and dispatch its backend solve.
+    def _consume_pending_sync(self, drain: bool = False) -> None:
+        """Consume completed packed syncs FIFO.
 
-        This runs ONE frame late by design (software pipelining): the packed
-        array's device->host copy was started asynchronously last frame and
-        the next frame's frontend is already dispatched when we block here, so
-        the link transfer and the device compute fully overlap host work. The
-        backend solve dispatched here is still consumed by the *current*
-        frame's registration through a device-side handle (take_pending), so
-        the estimator semantics match the reference's one-frame-latency
-        pipelining exactly (Module/Optimization/Interface.py:80-96).
+        Non-chained backend (_max_sync_lag == 1): the sync is consumed
+        blocking, one frame late — the reference's one-frame-latency
+        pipelining (Module/Optimization/Interface.py:80-96); consumption also
+        dispatches the backend solve from the registered host map.
+
+        Device-chained backend: the solve already consumed the packed array
+        ON DEVICE at dispatch time, so these fetches are pure host-map
+        bookkeeping — they are consumed only when their link transfer has
+        completed (or the queue exceeds _max_sync_lag), which takes the
+        ~90 ms device->host round trip of a remote-attached TPU off the
+        per-frame critical path entirely.
         """
-        if self._pending_sync is None:
-            return
-        ctx = self._pending_sync
-        self._pending_sync = None
+        while self._sync_queue:
+            over = len(self._sync_queue) > max(self._max_sync_lag - 1, 0)
+            if not (drain or over or self._sync_queue[0]["fetch"].done()):
+                break
+            self._register_sync(self._sync_queue.popleft())
 
+    def _register_sync(self, ctx: dict) -> None:
+        """Register one fetched sync into the host factor graph."""
         with timer.cpu_time("Sync consume"):
             packed, mapping_np = ctx["fetch"].result()
         obs_np, keep_np, pos0_Tw, cov0_Tw, kp0_color, est_pose, prev_pose_host = \
@@ -375,8 +386,11 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         if n_obs < MIN_NUM_POINT:
             Logger.warning(f"VOLostTrack @ {ctx['seq_idx']} - only {n_obs} observations")
             self.graph.frames.data["need_interp"][frame_idx] = True
+            # Device-chained: the in-trace solve already fell back to the
+            # motion prediction for this frame (solve_sync_packed).
             return
-        self.Optimizer.start_optimize(self.Optimizer.get_graph_data(self.graph, frame_idx))
+        if not self._device_chain:
+            self.Optimizer.start_optimize(self.Optimizer.get_graph_data(self.graph, frame_idx))
 
     def run_pair(self, frame0: StereoFrame, frame1: StereoFrame) -> None:
         assert self.prev_keyframe is not None
@@ -442,13 +456,30 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         # Push the new keyframe row now (indices must exist); its pose is
         # backfilled from the packed sync at consumption.
         frame_idx = self.push_keyframe(frame1, self.graph.frames.data["pose"][prev_idx])
-        self._pending_sync = {
+
+        # Device-chained backend: the solve consumes the packed array ON
+        # DEVICE right now — the LM problem never waits for (or touches) the
+        # host. take_pending hands the pose to the next frame as a device
+        # handle; the host map learns it from the next sync's aux row.
+        if self._device_chain:
+            if self._cam_dev is None:
+                K0 = np.asarray(frame1.stereo.K[0])
+                self._cam_dev = jnp.asarray(
+                    [K0[0, 0], K0[1, 1], K0[0, 2], K0[1, 2]], jnp.float32)
+                self._baseline_dev = jnp.asarray(
+                    np.float32(frame1.stereo.baseline[0]))
+            self.Optimizer.start_optimize_device(
+                packed_dev, prev_pose_dev, self._cam_dev, self._baseline_dev,
+                frame_idx,
+            )
+
+        self._sync_queue.append({
             "fetch": self._fetch_pool.submit(fetch),
             "prev_idx": prev_idx,
             "frame_idx": frame_idx,
             "backfill_idx": backfill_idx,
             "seq_idx": frame1.frame_idx,
-        }
+        })
         self.prev_keyframe = (frame1, frame_idx, depth1)
 
     def _mapping_core(self, meta0: StereoData):
@@ -512,9 +543,10 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
 
     def terminate(self) -> None:
         super().terminate()
-        # Flush the pipeline: register the in-flight pair (which dispatches the
-        # final solve), then fetch that solve's result into the map.
-        self._consume_pending_sync()
+        # Flush the pipeline: register all in-flight pairs (for a non-chained
+        # backend this dispatches the final solve), then fetch the final
+        # solve's result into the map.
+        self._consume_pending_sync(drain=True)
         if self.prev_keyframe is not None:
             self.Optimizer.write_map(self.graph)
         self.Optimizer.terminate()

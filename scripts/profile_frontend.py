@@ -96,7 +96,7 @@ def main():
     ctx = jax.random.normal(key, (B, h1, w1, 256), dt)
 
     if "twins" in stages:
-        twins = TwinsSVT()
+        twins = TwinsSVT(dtype=dt)
         tw_params = twins.init(key, img[:1])["params"]
 
         def tw2(x):
@@ -116,7 +116,7 @@ def main():
         scan_time(corr, feat, name="all-pairs correlation")
 
     if "perceiver" in stages:
-        menc = MemoryEncoder()
+        menc = MemoryEncoder(dtype=dt, fused_input=jax.default_backend() == "tpu")
         me_params = menc.init(key, feat, feat, ctx)["params"]
 
         def percv(f):
