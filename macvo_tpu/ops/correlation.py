@@ -51,12 +51,17 @@ def _corr_kernel(f1_ref, f2_prev_ref, f2_cur_ref, f2_next_ref, out_ref, *,
         [f2_prev_ref[0], f2_cur_ref[0], f2_next_ref[0]], axis=0
     )                                                        # (3*tile_h, W+2r, C)
     base = tile_h - radius
-    acc = []
+    inv_c = 1.0 / channels
+    # One dy-row of taps at a time: emitting all k*k displacement slices in a
+    # single stack made Mosaic materialize every (tile_h, W, C) shifted block
+    # at once — 81 * ~0.4 MB blew the 16 MB VMEM scope at 480-wide inputs.
+    # Chunked writes bound live intermediates to one dy group (k blocks).
     for dy in range(k):
+        acc = []
         for dx in range(k):
             f2_blk = rows[base + dy : base + dy + tile_h, dx : dx + width, :]
             acc.append(jnp.sum(f1 * f2_blk, axis=-1))
-    out_ref[0] = jnp.stack(acc, axis=-1) * (1.0 / channels)
+        out_ref[0, :, :, dy * k : (dy + 1) * k] = jnp.stack(acc, axis=-1) * inv_c
 
 
 def local_correlation_pallas(f1: jnp.ndarray, f2: jnp.ndarray, radius: int = 4,
