@@ -12,7 +12,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ...geometry import se3
+from ...geometry import se3_np as se3
 from ..frame import StereoData, StereoFrame
 from ..sequence import SequenceBase
 from .tartanair import load_image, load_tartanair_poses, _sorted_files

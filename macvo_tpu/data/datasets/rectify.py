@@ -81,9 +81,9 @@ def rectify_pair(
 
 
 def matrix_to_pose7(mat: np.ndarray) -> np.ndarray:
-    """(4,4) -> (7,) [t, q_xyzw] via the framework's branch-free converter."""
-    import jax.numpy as jnp
+    """(4,4) -> (7,) [t, q_xyzw] via the framework's branch-free converter.
 
-    from ...geometry import se3
+    numpy twin (se3_np) so dataset construction never touches the device."""
+    from ...geometry import se3_np
 
-    return np.asarray(se3.from_matrix(jnp.asarray(mat, jnp.float64)), dtype=np.float32)
+    return np.asarray(se3_np.from_matrix(np.asarray(mat, np.float64)), dtype=np.float32)

@@ -18,7 +18,7 @@ from types import SimpleNamespace
 
 import numpy as np
 
-from ...geometry import se3
+from ...geometry import se3_np as se3
 from ..frame import StereoData, StereoFrame
 from ..sequence import SequenceBase
 

@@ -20,7 +20,7 @@ from types import SimpleNamespace
 import cv2
 import numpy as np
 
-from ...geometry import se3
+from ...geometry import se3_np as se3
 from ..frame import StereoData, StereoFrame
 from ..sequence import SequenceBase
 
@@ -59,7 +59,10 @@ def load_flow(path: Path, compressed: bool) -> tuple[np.ndarray, np.ndarray]:
         if flow16 is None:
             raise FileNotFoundError(f"Unreadable flow: {path}")
         flow = (flow16[:, :, :2].astype(np.float32) - 32768.0) / 64.0
-        mask = flow16[:, :, 2].astype(np.float32)[..., None]
+        # TartanAir mask channel: 0 = valid, nonzero = occlusion flags
+        # (reference flow16to32, DataLoader/Dataset/TartanAir.py:281-292).
+        # Framework convention is True/1 = valid, so invert here.
+        mask = (flow16[:, :, 2] == 0).astype(np.float32)[..., None]
     else:
         raw = np.load(str(path))
         flow = raw[:, :, :2].astype(np.float32)
@@ -85,34 +88,39 @@ def _sorted_files(directory: Path, suffix: str) -> list[Path]:
 
 
 class _TartanAirBase(SequenceBase[StereoFrame], register=False):
-    """Shared loading machinery; subclasses pin intrinsics/geometry."""
+    """Shared loading machinery; subclasses pin intrinsics/geometry/layout."""
 
     K: np.ndarray  # (3,3)
     BASELINE: float
     SIZE: tuple[int, int]  # (H, W)
+    # v1 directory layout (DataLoader/Dataset/TartanAir.py); TartanAirV2
+    # overrides with the lcam_front names (TartanAir2.py:94-117).
+    LEFT_DIR, RIGHT_DIR = "image_left", "image_right"
+    DEPTH_DIR, FLOW_DIR = "depth_left", "flow"
+    POSE_FILE = "pose_left.txt"
 
     def __init__(self, config) -> None:
         cfg = self.config_dict2ns(config)
         root = Path(cfg.root)
         self.compressed = bool(getattr(cfg, "compressed", False))
-        self.left_files = _sorted_files(root / "image_left", ".png")
-        self.right_files = _sorted_files(root / "image_right", ".png")
+        self.left_files = _sorted_files(root / self.LEFT_DIR, ".png")
+        self.right_files = _sorted_files(root / self.RIGHT_DIR, ".png")
 
         self.depth_files = None
         if getattr(cfg, "gtDepth", False):
             suffix = ".png" if self.compressed else ".npy"
-            self.depth_files = _sorted_files(root / "depth_left", suffix)
+            self.depth_files = _sorted_files(root / self.DEPTH_DIR, suffix)
 
         self.flow_files = None
         length = len(self.left_files)
         if getattr(cfg, "gtFlow", False):
             suffix = "_flow.png" if self.compressed else "_flow.npy"
-            self.flow_files = _sorted_files(root / "flow", suffix)
+            self.flow_files = _sorted_files(root / self.FLOW_DIR, suffix)
             length = len(self.flow_files)
 
         self.gt_poses = None
         if getattr(cfg, "gtPose", False):
-            self.gt_poses = load_tartanair_poses(root / "pose_left.txt")
+            self.gt_poses = load_tartanair_poses(root / self.POSE_FILE)
 
         time_file = root / "imu" / "cam_time.npy"
         if time_file.exists():
@@ -166,6 +174,14 @@ class TartanAir(_TartanAirBase):
 
 
 class TartanAirV2(_TartanAirBase):
+    """Real TartanAir v2 layout: <root>/image_{l,r}cam_front/*.png, compressed
+    depth (float32 packed rgba png) + flow (uint16 png) for the front left
+    camera, pose_lcam_front.txt, imu/cam_time.{npy,txt}
+    (reference: DataLoader/Dataset/TartanAir2.py:94-117)."""
+
     K = np.array([[320.0, 0.0, 320.0], [0.0, 320.0, 320.0], [0.0, 0.0, 1.0]])
     BASELINE = 0.25
     SIZE = (640, 640)
+    LEFT_DIR, RIGHT_DIR = "image_lcam_front", "image_rcam_front"
+    DEPTH_DIR, FLOW_DIR = "depth_lcam_front", "flow_lcam_front"
+    POSE_FILE = "pose_lcam_front.txt"

@@ -98,6 +98,17 @@ def convert_cov_update_block(state: Mapping[str, Any], prefix: str = "memory_dec
     }
 
 
+def convert_cov_branch_tree(state: Mapping[str, Any],
+                            prefix: str = "memory_decoder.cov_update") -> dict[str, Any]:
+    """Cov branch placed at the flax model's ACTUAL parameter paths: the mask
+    head lives once at memory_decoder/cov_mask (applied after the scan), while
+    the GRU + head are scanned per-iteration under memory_decoder/iteration
+    (decoder refactor: decoder.py MemoryCovDecoder)."""
+    block = convert_cov_update_block(state, prefix)
+    cov_mask = block.pop("cov_mask")
+    return {"memory_decoder": {"cov_mask": cov_mask, "iteration": block}}
+
+
 def load_torch_checkpoint(path: str | Path) -> dict[str, Any]:
     """Load a .pth state dict (weights_only, DDP prefix stripped)."""
     import torch
@@ -115,7 +126,7 @@ def convert_cov_branch_pth(pth_path: str | Path, npz_path: str | Path,
     from .weights import flatten_params
 
     state = load_torch_checkpoint(pth_path)
-    tree = {"memory_decoder": {"iteration": convert_cov_update_block(state, prefix)}}
+    tree = convert_cov_branch_tree(state, prefix)
     flat = flatten_params(tree)
     np.savez_compressed(npz_path, **flat)
     return flat
