@@ -15,6 +15,7 @@ from .transform import IDataTransform
 from .datasets import euroc as _euroc  # noqa: F401
 from .datasets import general as _general  # noqa: F401
 from .datasets import kitti as _kitti  # noqa: F401
+from .datasets import randomized as _randomized  # noqa: F401
 from .datasets import synthetic as _synthetic  # noqa: F401
 from .datasets import tartanair as _tartanair  # noqa: F401
 from .datasets import vbr as _vbr  # noqa: F401

@@ -235,6 +235,34 @@ class SyntheticStereo(SequenceBase[StereoFrame]):
         )
 
 
+def write_sequence_tartanair_layout(seq, out_dir: str | Path) -> Path:
+    """Materialize ANY StereoFrame sequence to disk in TartanAir v1 layout
+    (image_left/right pngs, depth npy, flow npy with mask channel,
+    pose_left.txt) so the real file loaders serve it."""
+    import cv2
+
+    out = Path(out_dir)
+    for sub in ("image_left", "image_right", "depth_left", "flow"):
+        (out / sub).mkdir(parents=True, exist_ok=True)
+
+    poses = []
+    for i in range(len(seq)):
+        frame = seq[i]
+        s = frame.stereo
+        for name, img in (("image_left", s.imageL[0]), ("image_right", s.imageR[0])):
+            bgr = cv2.cvtColor((np.asarray(img) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR)
+            cv2.imwrite(str(out / name / f"{i:06d}_{'left' if name == 'image_left' else 'right'}.png"), bgr)
+        np.save(out / "depth_left" / f"{i:06d}_left_depth.npy",
+                np.asarray(s.gt_depth[0, ..., 0], np.float32))
+        if s.gt_flow is not None:
+            flow3 = np.concatenate([np.asarray(s.gt_flow[0]),
+                                    np.asarray(s.flow_mask[0], np.float32)], axis=-1)
+            np.save(out / "flow" / f"{i:06d}_{i + 1:06d}_flow.npy", flow3.astype(np.float32))
+        poses.append(np.asarray(frame.gt_pose[0]))
+    np.savetxt(out / "pose_left.txt", np.stack(poses), fmt="%.8f")
+    return out
+
+
 def write_tartanair_layout(out_dir: str | Path, config: dict | None = None) -> Path:
     """Materialize a SyntheticStereo sequence to disk in TartanAir v1 layout so
     the real file loaders are exercised end-to-end."""

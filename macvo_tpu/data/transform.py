@@ -188,6 +188,47 @@ class AddImageNoise(IDataTransform):
         )
 
 
+class PhotometricJitter(IDataTransform):
+    """Random per-call brightness/contrast/gamma/color-gain jitter (train-time
+    augmentation; the RAFT/FlowFormer recipe the reference inherits through
+    its pretrained torch weights). Called independently per frame by
+    TrainPairDataset, so the two frames of a pair receive DIFFERENT
+    photometric params — the asymmetric jitter that teaches the matcher
+    brightness-constancy violations.
+
+    Config: strength in [0,1] scales all jitter ranges (default 1).
+    GT (flow/depth/pose/K) is untouched."""
+
+    def __call__(self, frame: StereoFrame) -> StereoFrame:
+        k = float(getattr(self.config, "strength", 1.0) if self.config else 1.0)
+        rng = np.random.default_rng()
+        s = frame.stereo
+
+        def jitter(img):
+            img = np.asarray(img, np.float32)
+            gain = 1.0 + rng.uniform(-0.3, 0.3) * k
+            bias = rng.uniform(-0.12, 0.12) * k
+            gamma = np.exp(rng.uniform(-0.35, 0.35) * k)
+            color = 1.0 + rng.uniform(-0.15, 0.15, size=3).astype(np.float32) * k
+            out = np.clip(img * gain * color + bias, 1e-4, 1.0) ** gamma
+            return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+        return StereoFrame(
+            idx=frame.idx,
+            gt_pose=frame.gt_pose,
+            stereo=StereoData(
+                T_BS=s.T_BS, K=s.K, baseline=s.baseline, time_ns=s.time_ns,
+                imageL=jitter(s.imageL), imageR=jitter(s.imageR),
+                gt_flow=s.gt_flow, flow_mask=s.flow_mask, gt_depth=s.gt_depth,
+            ),
+        )
+
+    @classmethod
+    def is_valid_config(cls, config) -> None:
+        if config is not None and hasattr(config, "strength"):
+            assert isinstance(config.strength, (int, float)) and 0 <= config.strength <= 2
+
+
 class CastDataType(IDataTransform):
     """Cast image arrays to a given dtype (reference: Transform.py:153-178)."""
 
