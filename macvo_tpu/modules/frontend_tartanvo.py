@@ -65,6 +65,12 @@ class _ModelHost:
     def __init__(self, model, weight: str, probe_shapes) -> None:
         self.model = model
         if weight.startswith("random"):
+            from ..utils.logging import Logger
+
+            Logger.warning(
+                f"{type(model).__name__}: RANDOM weights ({weight}) — no trained "
+                "TartanVO-family checkpoint exists in this snapshot; outputs are "
+                "not meaningful as a baseline (PARITY.md row 27)")
             seed = int(weight.split(":")[1]) if ":" in weight else 0
             self.params = model.init(jax.random.PRNGKey(seed), *[
                 jnp.zeros(s, jnp.float32) for s in probe_shapes

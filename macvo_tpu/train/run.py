@@ -92,6 +92,9 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=None, help="override num_steps")
     parser.add_argument("--out", type=str, default="model/FlowFormerCov.npz")
     parser.add_argument("--restore", type=str, default=None)
+    parser.add_argument("--mode", type=str, default=None,
+                        choices=["flow", "cov", "finalcov"],
+                        help="override Train.training_mode (two-phase recipe)")
     parser.add_argument("--log_freq", type=int, default=100)
     args = parser.parse_args()
 
@@ -112,7 +115,7 @@ def main() -> None:
         num_steps=int(args.steps or cfg.Train.num_steps),
         gamma=float(cfg.Train.gamma),
         max_flow=float(cfg.Train.max_flow),
-        training_mode=str(cfg.Train.training_mode),
+        training_mode=str(args.mode or cfg.Train.training_mode),
     )
     model = FlowFormerCov(FlowFormerConfig(
         decoder_depth=int(cfg.Model.decoder_depth),
