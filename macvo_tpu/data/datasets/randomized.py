@@ -417,9 +417,23 @@ class RandomizedStereo(SequenceBase[StereoFrame]):
         cy = float(getattr(cfg, "cy", H / 2))
         self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
         self.baseline = float(getattr(cfg, "baseline", 0.25))
+        # supersample: render the image at s x resolution and box-filter down
+        # — natural anti-aliased edges (GT depth/flow stay at pixel centers
+        # via the native-resolution trace).
+        self.ss = int(getattr(cfg, "supersample", 1))
         seed = int(getattr(cfg, "seed", 0))
         prims, light = build_random_world(seed)
         self.renderer = WorldRenderer(prims, light, self.K.astype(np.float64), W, H)
+        self._ss_renderer = None
+        if self.ss > 1:
+            # s high-res pixel centers must tile each native pixel:
+            # fx' = s*fx, cx' = s*cx + (s-1)/2 (likewise fy/cy).
+            Kss = self.K.astype(np.float64).copy()
+            Kss[0, 0] *= self.ss
+            Kss[1, 1] *= self.ss
+            Kss[0, 2] = self.ss * Kss[0, 2] + (self.ss - 1) / 2.0
+            Kss[1, 2] = self.ss * Kss[1, 2] + (self.ss - 1) / 2.0
+            self._ss_renderer = WorldRenderer(prims, light, Kss, W * self.ss, H * self.ss)
         self.poses = random_trajectory(self.n_frames, seed + 999)
         self._rcache: dict[int, tuple] = {}
         self._cache: dict[int, StereoFrame] = {}
@@ -432,6 +446,18 @@ class RandomizedStereo(SequenceBase[StereoFrame]):
                 self._rcache.pop(next(iter(self._rcache)))
             self._rcache[index] = self.renderer.render(self.poses[index])
         return self._rcache[index]
+
+    def _image(self, pose: np.ndarray, native_img: np.ndarray | None) -> np.ndarray:
+        """Anti-aliased image via the supersampled renderer (if enabled);
+        ``native_img=None`` skips the (redundant) native render entirely."""
+        if self._ss_renderer is None:
+            if native_img is None:
+                return self.renderer.render(pose)[0]
+            return native_img
+        img_hi = self._ss_renderer.render(pose)[0]
+        s = self.ss
+        H, W = self.renderer.H, self.renderer.W
+        return img_hi.reshape(H, s, W, s, 3).mean(axis=(1, 3)).astype(np.float32)
 
     def _right_pose(self, pose: np.ndarray) -> np.ndarray:
         offset = se3.from_t_q(
@@ -446,7 +472,8 @@ class RandomizedStereo(SequenceBase[StereoFrame]):
                 self._cache.pop(next(iter(self._cache)))
             pose = self.poses[index]
             imgL, depth, _, pts_w, ids = self._render(index)
-            imgR, _, _, _, _ = self.renderer.render(self._right_pose(pose))
+            imgL = self._image(pose, imgL)
+            imgR = self._image(self._right_pose(pose), None)
             flow = flow_mask = None
             if index + 1 < self.n_frames:
                 _, _, dist_b, _, _ = self._render(index + 1)

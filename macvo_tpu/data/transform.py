@@ -211,6 +211,12 @@ class PhotometricJitter(IDataTransform):
             gamma = np.exp(rng.uniform(-0.35, 0.35) * k)
             color = 1.0 + rng.uniform(-0.15, 0.15, size=3).astype(np.float32) * k
             out = np.clip(img * gain * color + bias, 1e-4, 1.0) ** gamma
+            # random mild defocus: real cameras are never pixel-sharp, and a
+            # matcher trained only on razor-sharp renders over-trusts
+            # single-pixel gradients
+            if rng.random() < 0.5 * k:
+                sigma = rng.uniform(0.4, 1.2)
+                out = np.stack([cv2.GaussianBlur(b, (0, 0), sigma) for b in out], 0)
             return np.clip(out, 0.0, 1.0).astype(np.float32)
 
         return StereoFrame(

@@ -31,7 +31,7 @@ def gen_one(args: tuple) -> str:
     seq = RandomizedStereo({
         "n_frames": n_frames, "width": width, "height": height,
         "fx": 320.0, "fy": 320.0, "cx": width / 2.0, "cy": height / 2.0,
-        "baseline": 0.25, "seed": seed,
+        "baseline": 0.25, "seed": seed, "supersample": 2,
     })
     out = Path(out_root) / f"seq_{seed:04d}"
     write_sequence_tartanair_layout(seq, out)
