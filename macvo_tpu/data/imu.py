@@ -166,21 +166,49 @@ class IMUSimulator:
         return imu, att
 
 
+def _load_first(imu_dir: Path, names: tuple[str, ...]) -> np.ndarray | None:
+    for n in names:
+        p = imu_dir / n
+        if p.exists():
+            return np.load(p)
+    return None
+
+
 def load_tartanair_imu(imu_dir: Path) -> SimulatedIMU:
-    """Read the real TartanAir IMU directory (acc/gyro/time + GT kinematics)
-    (reference: TartanAirIMULoader, TartanAir.py:309-451)."""
+    """Read a real TartanAir IMU directory (acc/gyro/time + GT kinematics).
+
+    Accepts both file-name schemes: v1 (accel_left/gyro_left/xyz_left/
+    vel_left/angles_left — reference TartanAirIMULoader,
+    TartanAir.py:309-341) and v2 as committed in the real asset
+    (acc/gyro/pos_global/vel_global/ori_global, with ori_global as XYZ Euler
+    angles)."""
     imu_dir = Path(imu_dir)
-    acc = np.load(imu_dir / "acc.npy").astype(np.float32)
-    gyro = np.load(imu_dir / "gyro.npy").astype(np.float32)
+    acc = _load_first(imu_dir, ("accel_left.npy", "acc.npy"))
+    gyro = _load_first(imu_dir, ("gyro_left.npy", "gyro.npy"))
+    assert acc is not None and gyro is not None, f"no IMU data under {imu_dir}"
+    acc = acc.astype(np.float32)
+    gyro = gyro.astype(np.float32)
     imu_time = np.load(imu_dir / "imu_time.npy")
     cam_time = np.load(imu_dir / "cam_time.npy")
-    gt_pos = np.load(imu_dir / "xyz_left.npy").astype(np.float32) if (imu_dir / "xyz_left.npy").exists() else np.zeros_like(acc)
-    gt_vel = np.load(imu_dir / "vel_left.npy").astype(np.float32) if (imu_dir / "vel_left.npy").exists() else np.zeros_like(acc)
-    if (imu_dir / "ori_left.npy").exists():
-        gt_rot = np.load(imu_dir / "ori_left.npy").astype(np.float32)
+    gt_pos = _load_first(imu_dir, ("xyz_left.npy", "pos_global.npy"))
+    gt_pos = gt_pos.astype(np.float32) if gt_pos is not None else np.zeros_like(acc)
+    gt_vel = _load_first(imu_dir, ("vel_left.npy", "vel_global.npy"))
+    gt_vel = gt_vel.astype(np.float32) if gt_vel is not None else np.zeros_like(acc)
+    angles = _load_first(imu_dir, ("angles_left.npy", "ori_global.npy"))
+    if angles is not None and angles.shape[-1] == 3:
+        from scipy.spatial.transform import Rotation
+
+        gt_rot = Rotation.from_euler("XYZ", angles, degrees=False).as_quat().astype(np.float32)
+    elif angles is not None:
+        gt_rot = angles.astype(np.float32)
     else:
         gt_rot = np.tile(np.array([0, 0, 0, 1], np.float32), (acc.shape[0], 1))
-    cam_to_imu = np.searchsorted(imu_time, cam_time).clip(0, imu_time.size - 1)
+    # nearest-time alignment (searchsorted-left is off by one whenever the
+    # float32 camera stamp rounds up past the float64 imu stamp)
+    right = np.searchsorted(imu_time, cam_time.astype(np.float64)).clip(0, imu_time.size - 1)
+    left = np.maximum(right - 1, 0)
+    pick_left = (np.abs(imu_time[left] - cam_time) <= np.abs(imu_time[right] - cam_time))
+    cam_to_imu = np.where(pick_left, left, right)
     return SimulatedIMU(
         time_ns=(imu_time * 1e9).astype(np.int64),
         acc=acc, gyro=gyro, gt_pos=gt_pos, gt_vel=gt_vel, gt_rot=gt_rot,

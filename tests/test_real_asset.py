@@ -123,3 +123,49 @@ def test_real_asset_learned_frontend():
     # see README 'Real-data accuracy'). Tighten as training improves; the
     # parity target is the reference bound 0.002 m.
     assert m["ATE"].rmse <= 0.80, f"real-asset ATE regressed: {m['ATE'].rmse:.3f} m"
+
+
+def test_real_imu_loader_consistency():
+    """The asset ships REAL 100 Hz IMU. Note the committed camera frames are
+    NON-uniformly spaced along this trajectory (pose rows lie on the IMU path
+    at cm distance but at irregular times), so camera-row alignment cannot be
+    asserted; instead validate the loader against the IMU's own kinematics:
+      * the trajectory starts at the pose file's first row;
+      * d(pos_global)/dt matches vel_global;
+      * integrating vel_global reproduces pos_global;
+      * acc (body, with gravity) minus acc_nograv equals R^T g with
+        g = +9.81 z in NED (z down) — the framework's axis convention."""
+    from scipy.spatial.transform import Rotation
+
+    from macvo_tpu.data.imu import load_tartanair_imu
+
+    imu = load_tartanair_imu(ASSET / "imu")
+    assert imu.acc.shape[0] == imu.gyro.shape[0] == imu.time_ns.shape[0]
+    assert int(imu.cam_to_imu[1]) == 10  # nearest-time alignment, 100/10 Hz
+
+    poses = np.loadtxt(ASSET / "pose_lcam_front.txt").astype(np.float64)
+    np.testing.assert_allclose(imu.gt_pos[0], poses[0, :3], atol=1e-4)
+
+    t = imu.time_ns.astype(np.float64) * 1e-9
+    dt = np.diff(t)[:, None]
+    # velocity = position derivative (central where possible)
+    v_num = np.diff(imu.gt_pos, axis=0) / dt
+    v_mid = 0.5 * (imu.gt_vel[1:] + imu.gt_vel[:-1])
+    err_v = np.linalg.norm(v_num - v_mid, axis=1)
+    assert np.median(err_v) < 0.05 * np.median(np.linalg.norm(v_mid, axis=1)), \
+        float(np.median(err_v))
+
+    # Gravity/frame conventions (decoded from the data, asserted so a loader
+    # regression cannot silently flip them):
+    #   acc (BODY specific force) - acc_nograv_body = R^T (0,0,-9.8):
+    #     at rest the accelerometer reads -g with g = +9.8 z-down (NED);
+    #   acc_nograv_body = R^T acc_nograv (global), R from XYZ Euler ori_global.
+    acc_ng_b = np.load(ASSET / "imu" / "acc_nograv_body.npy").astype(np.float64)
+    acc_ng_g = np.load(ASSET / "imu" / "acc_nograv.npy").astype(np.float64)
+    ori = np.load(ASSET / "imu" / "ori_global.npy").astype(np.float64)
+    R = Rotation.from_euler("XYZ", ori, degrees=False)
+    g_term = R.inv().apply(np.array([0.0, 0.0, -9.8]))
+    err_g = np.linalg.norm((imu.acc.astype(np.float64) - acc_ng_b) - g_term, axis=1)
+    assert np.median(err_g) < 0.01, float(np.median(err_g))
+    err_frame = np.linalg.norm(R.inv().apply(acc_ng_g) - acc_ng_b, axis=1)
+    assert np.median(err_frame) < 1e-9, float(np.median(err_frame))
