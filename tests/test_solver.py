@@ -147,3 +147,58 @@ def test_packed_solver_identity_init_with_padding(graph_type):
     assert np.isfinite(np.asarray(pose)).all()
     err = float(jnp.linalg.norm(se3.log(se3.mul(se3.inv(true_local), pose))))
     assert err < 1e-4, f"{graph_type}: pose error {err} (solver froze?)"
+
+
+@pytest.mark.parametrize("graph_type", ["icp", "disp"])
+def test_sync_packed_nan_in_masked_rows(graph_type):
+    """Regression (ADVICE r2): a NaN/Inf in a masked-OUT row of the packed
+    sync (e.g. bf16 frontend overflow in a rejected observation) must not
+    poison the device-chained solve — benign substitution happens before any
+    residual math (backend/two_frame_pgo.py solve_sync_packed)."""
+    from macvo_tpu.backend.two_frame_pgo import solve_sync_packed
+    from macvo_tpu.odometry.layout import COL_KEEP, OBS_COLS, PACKED_SYNC_WIDTH
+
+    rng = np.random.default_rng(3)
+    n, cap = 32, 48
+    K = np.array([[160.0, 0, 160], [0, 160.0, 120], [0, 0, 1]])
+    anchor = np.array([0.3, -0.2, 0.1, 0.02, -0.01, 0.03, 1.0], np.float32)
+    anchor = np.asarray(se3.normalize(jnp.asarray(anchor)), np.float32)
+    motion = np.asarray(se3.exp(jnp.asarray([0.2, -0.05, 0.03, 0.01, -0.02, 0.015])), np.float64)
+    # camera-1 landmarks, their pixels/depths; camera-2 view after `motion`
+    pts_c1 = np.stack([rng.uniform(4, 15, n), rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n)], 1)
+    uv1 = np.asarray(camera.point_to_pixel_ned(jnp.asarray(pts_c1), jnp.asarray(K)))
+    pts_c2 = np.asarray(se3.act(se3.inv(jnp.asarray(motion)), jnp.asarray(pts_c1)))
+    uv2 = np.asarray(camera.point_to_pixel_ned(jnp.asarray(pts_c2), jnp.asarray(K)))
+
+    sync = np.zeros((cap + 1, PACKED_SYNC_WIDTH), np.float32)
+    def put(name, val):
+        lo, hi = OBS_COLS[name]
+        sync[:n, lo:hi] = np.asarray(val, np.float32).reshape(n, hi - lo)
+    put("pixel1_uv", uv1); put("pixel2_uv", uv2)
+    put("pixel1_d", pts_c1[:, :1]); put("pixel2_d", pts_c2[:, :1])
+    put("pixel2_disp", K[0, 0] * 0.25 / pts_c2[:, :1])
+    put("pixel2_disp_cov", np.full((n, 1), 0.25))
+    put("pixel2_uv_cov", np.tile([0.25, 0.25, 0.0], (n, 1)))
+    put("obs1_covTc", np.tile((np.eye(3) * 0.01).ravel(), (n, 1)))
+    put("obs2_covTc", np.tile((np.eye(3) * 0.01).ravel(), (n, 1)))
+    sync[:n, COL_KEEP] = 1.0
+    # POISON the padded/masked rows with NaN and Inf everywhere
+    sync[n:cap, :] = np.nan
+    sync[n + 1:cap:2, :] = np.inf
+    sync[n:cap, COL_KEEP] = 0.0  # masked out
+    # init DIFFERS from truth: a NaN-frozen solve returns this perturbed pose
+    # (err ~ 0.13) and fails the bound — only a working solve converges
+    perturb = se3.exp(jnp.asarray([0.08, -0.04, 0.05, 0.02, -0.01, 0.03], jnp.float64))
+    est_pose = np.asarray(se3.mul(se3.mul(jnp.asarray(anchor, jnp.float64),
+                                          jnp.asarray(motion)), perturb), np.float32)
+    sync[cap, 0:7] = est_pose
+
+    cam = jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], jnp.float32)
+    pose = solve_sync_packed(jnp.asarray(sync), jnp.asarray(anchor),
+                             cam, jnp.asarray(0.25, jnp.float32), graph_type)
+    pose = np.asarray(pose)
+    assert np.isfinite(pose).all(), "NaN in masked rows leaked into the solve"
+    want = np.asarray(se3.mul(jnp.asarray(anchor, jnp.float64), jnp.asarray(motion)))
+    err = float(jnp.linalg.norm(se3.log(se3.mul(se3.inv(jnp.asarray(want)),
+                                                jnp.asarray(pose, jnp.float64)))))
+    assert err < 1e-2, f"pose error {err} with poisoned masked rows"
