@@ -165,3 +165,35 @@ def quat_from_matrix(m: np.ndarray) -> np.ndarray:
 
 def from_matrix(m: np.ndarray) -> np.ndarray:
     return from_t_q(m[..., :3, 3], quat_from_matrix(m[..., :3, :3]))
+
+
+def so3_log(q: np.ndarray) -> np.ndarray:
+    q = quat_normalize(q)
+    q = np.where(q[..., 3:4] < 0, -q, q)
+    qv = q[..., :3]
+    qw = q[..., 3]
+    sin_half = _safe_norm(qv)
+    half = np.arctan2(sin_half, qw)
+    small = sin_half < 1e-6
+    k = np.where(small, 2.0 / np.maximum(qw, _EPS), 2.0 * half / np.maximum(sin_half, _EPS))
+    return qv * k[..., None]
+
+
+def _left_jacobian_inv(phi: np.ndarray) -> np.ndarray:
+    angle = _safe_norm(phi)
+    small = angle < 1e-6
+    a = np.maximum(angle, _EPS)
+    K = skew(phi)
+    cot_term = np.where(
+        small,
+        1.0 / 12.0 + angle**2 / 720.0,
+        (1.0 / (a * a)) - (1.0 + np.cos(a)) / (2.0 * a * np.sin(a) + _EPS),
+    )
+    eye = np.broadcast_to(np.eye(3, dtype=phi.dtype), K.shape)
+    return eye - 0.5 * K + cot_term[..., None, None] * (K @ K)
+
+
+def log(pose: np.ndarray) -> np.ndarray:
+    phi = so3_log(pose[..., 3:7])
+    rho = np.einsum("...ij,...j->...i", _left_jacobian_inv(phi), pose[..., :3])
+    return np.concatenate([rho, phi], axis=-1)

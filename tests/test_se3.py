@@ -120,3 +120,11 @@ def test_synthetic_dataset_is_device_free():
                          env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"}, timeout=300)
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
+
+
+def test_se3_np_log_parity(rng):
+    from macvo_tpu.geometry import se3_np
+
+    twist = rng.normal(scale=0.4, size=(24, 6)).astype(np.float32)
+    pose = np.asarray(se3.exp(jnp.asarray(twist)))
+    np.testing.assert_allclose(se3_np.log(pose), np.asarray(se3.log(jnp.asarray(pose))), atol=1e-5)
