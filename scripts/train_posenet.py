@@ -45,7 +45,9 @@ def build_samples(roots, holdout: int = 1):
             s = f0.stereo
             flow = cv2.resize(np.asarray(s.gt_flow[0]), (tw, th),
                               interpolation=cv2.INTER_LINEAR) * FLOW_NORM
-            depth = cv2.resize(np.asarray(s.gt_depth[0, ..., 0]), (tw, th),
+            # depth of the NEW frame, matching the inference call
+            # (Odometry/MACVO.py:194 predict(frame1, match01.flow, depth1))
+            depth = cv2.resize(np.asarray(f1.stereo.gt_depth[0, ..., 0]), (tw, th),
                                interpolation=cv2.INTER_LINEAR)
             inv_depth = (1.0 / np.maximum(depth, 1e-6)) / POSE_DEPTH_NORM
             fx, fy = float(s.K[0, 0, 0]), float(s.K[0, 1, 1])
