@@ -95,6 +95,9 @@ def main() -> None:
     parser.add_argument("--mode", type=str, default=None,
                         choices=["flow", "cov", "finalcov"],
                         help="override Train.training_mode (two-phase recipe)")
+    parser.add_argument("--height", type=int, default=None, help="override crop height")
+    parser.add_argument("--width", type=int, default=None, help="override crop width")
+    parser.add_argument("--batch", type=int, default=None, help="override batch size")
     parser.add_argument("--log_freq", type=int, default=100)
     args = parser.parse_args()
 
@@ -125,12 +128,13 @@ def main() -> None:
 
     mesh = make_mesh()
     n_dev = mesh.shape["data"]
-    batch_size = int(cfg.Train.batch_size)
+    batch_size = int(args.batch or cfg.Train.batch_size)
     if batch_size % n_dev != 0:
         batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
         Logger.warning(f"batch_size rounded to {batch_size} for {n_dev} devices")
 
-    h, w = int(cfg.Train.image_height), int(cfg.Train.image_width)
+    h = int(args.height or cfg.Train.image_height)
+    w = int(args.width or cfg.Train.image_width)
     state, opt = create_train_state(
         model, tcfg, jax.random.PRNGKey(int(getattr(cfg.Train, "seed", 0))),
         sample_shape=(1, h, w, 3),
