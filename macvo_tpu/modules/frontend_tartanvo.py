@@ -215,7 +215,10 @@ class TartanMotionNet(IMotionModel):
         depth_r = resize_bilinear(jnp.nan_to_num(depth, nan=1e6), (th, tw))
         blfx = meta.frame_baseline * meta.fx
         stereo = jnp.clip(jnp.nan_to_num(blfx / depth_r * STEREO_NORM), 0.0, None)
-        inv_depth = stereo / blfx / (STEREO_NORM * POSE_DEPTH_NORM)
+        # cap at 0.5 m depth: degenerate near-camera pixels (possible in the
+        # randomized worlds, never in real capture) otherwise saturate the
+        # input stack; matches the training-time cap (scripts/train_posenet.py)
+        inv_depth = jnp.minimum(stereo / blfx / STEREO_NORM, 2.0) / POSE_DEPTH_NORM
         stack = jnp.concatenate([flow_r, inv_depth, intr], axis=-1)
         twist = self.host(stack)[0] * jnp.asarray(POSE_NORM)
         # Network emits [trans, rot]; our se3 twists are [rho, phi] — same order.

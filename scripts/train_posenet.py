@@ -49,7 +49,8 @@ def build_samples(roots, holdout: int = 1):
             # (Odometry/MACVO.py:194 predict(frame1, match01.flow, depth1))
             depth = cv2.resize(np.asarray(f1.stereo.gt_depth[0, ..., 0]), (tw, th),
                                interpolation=cv2.INTER_LINEAR)
-            inv_depth = (1.0 / np.maximum(depth, 1e-6)) / POSE_DEPTH_NORM
+            # cap at 0.5 m depth (mirrors TartanMotionNet inference)
+            inv_depth = np.minimum(1.0 / np.maximum(depth, 1e-6), 2.0) / POSE_DEPTH_NORM
             fx, fy = float(s.K[0, 0, 0]), float(s.K[0, 1, 1])
             cx, cy = float(s.K[0, 0, 2]), float(s.K[0, 1, 2])
             H, W = s.imageL.shape[1:3]
@@ -73,7 +74,8 @@ def main() -> None:
     ap.add_argument("--data", type=str, default="data/randomized")
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--holdout", type=int, default=3, help="held-out sequences")
     ap.add_argument("--out", type=str, default="model/TartanVO_posenet.npz")
     ap.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
     args = ap.parse_args()
@@ -93,7 +95,7 @@ def main() -> None:
     roots = sorted(p for p in Path(args.data).glob("seq_*")
                    if (p / "pose_left.txt").exists())
     assert roots, f"no sequences under {args.data} — run scripts/gen_randomized.py"
-    (Xtr, Ytr), (Xev, Yev) = build_samples(roots)
+    (Xtr, Ytr), (Xev, Yev) = build_samples(roots, holdout=args.holdout)
     print(f"train {Xtr.shape[0]} pairs, eval {Xev.shape[0]} pairs", flush=True)
 
     model = VOFlowRes()
@@ -106,7 +108,11 @@ def main() -> None:
     def step(params, opt_state, xb, yb):
         def loss_fn(p):
             pred = model.apply({"params": p}, xb)
-            return jnp.mean(jnp.abs(pred - yb))
+            # smooth-L1: the twist distribution has heavy tails (rot_amp up
+            # to 7 deg/frame normalized by 0.013); pure L1/L2 lets outlier
+            # pairs dominate and destabilizes the fit
+            d = jnp.abs(pred - yb)
+            return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
