@@ -27,10 +27,10 @@ timeout 28800 python -m macvo_tpu.train.run \
     --mode flow --steps "${FLOW_STEPS}" \
     --out model/FlowFormerCov_rand_flow.npz 2>&1 | tail -20
 
-log "4/7 phase COV (${COV_STEPS} steps, frozen flow branch)"
+log "4/7 phase COV (${COV_STEPS} steps, frozen flow branch, HOLDOUT worlds 1020-1023)"
 timeout 14400 python -m macvo_tpu.train.run \
-    --config configs/train/FlowFormerCov_randomized.yaml \
-    --mode cov --steps "${COV_STEPS}" \
+    --config configs/train/FlowFormerCov_randomized_cov.yaml \
+    --steps "${COV_STEPS}" \
     --restore model/FlowFormerCov_rand_flow.npz \
     --out model/MACVO_FrontendCov_v2.npz 2>&1 | tail -20
 

@@ -143,6 +143,39 @@ def test_full_cov_update_block_parity(data):
     np.testing.assert_allclose(np.asarray(mask_j), _from_nchw(mask_t), atol=2e-5)
 
 
+def test_full_tree_merges_into_model_params():
+    """ADVICE r2 (medium): convert_cov_branch_tree must emit the flax model's
+    ACTUAL parameter paths — cov_mask at memory_decoder/cov_mask (post-scan),
+    cov_gru/cov_head under memory_decoder/iteration — so that a real .pth
+    conversion merges into FlowFormerCov.init params without KeyError."""
+    from macvo_tpu.models.flowformer import FlowFormerConfig, FlowFormerCov
+    from macvo_tpu.models.flowformer.torch_convert import (
+        convert_cov_branch_tree,
+        merge_into_params,
+    )
+
+    torch.manual_seed(4)
+    tmod = TorchCovUpdateBlock()
+    state = {f"module.memory_decoder.cov_update.{k}": v for k, v in tmod.state_dict().items()}
+    tree = convert_cov_branch_tree(strip_ddp_prefix(state))
+
+    model = FlowFormerCov(FlowFormerConfig(decoder_depth=1))
+    probe = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), probe, probe)["params"]
+
+    merged = merge_into_params(params, tree)
+
+    # The converted leaves landed (values changed where the subtree covers),
+    # and the merged tree still has exactly the model's structure.
+    assert jax.tree_util.tree_structure(merged) == jax.tree_util.tree_structure(params)
+    got = np.asarray(merged["memory_decoder"]["cov_mask"]["conv1"]["kernel"])
+    want = np.transpose(tmod.mask[0].weight.detach().numpy(), (2, 3, 1, 0))
+    np.testing.assert_array_equal(got, want)
+    got_gru = np.asarray(merged["memory_decoder"]["iteration"]["cov_gru"]["h_z"]["kernel"])
+    want_gru = np.transpose(tmod.gru.convz1.weight.detach().numpy(), (2, 3, 1, 0))
+    np.testing.assert_array_equal(got_gru, want_gru)
+
+
 def test_mask_head_parity(data):
     h, _ = data
     torch.manual_seed(3)
