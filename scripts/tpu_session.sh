@@ -21,10 +21,11 @@ MACVO_TEST_PLATFORM=tpu timeout 3000 python -m pytest tests/test_tpu.py -m tpu -
 log "2/7 benchmark (pre-training, shipped checkpoint)"
 timeout 3000 python bench.py 2>&1 | tail -3 | tee -a results/tpu_session_${STAMP}.log
 
-log "3/7 phase FLOW on randomized data (${FLOW_STEPS} steps)"
+log "3/7 phase FLOW on randomized data (${FLOW_STEPS} steps, warm-started from r2 ckpt)"
 timeout 28800 python -m macvo_tpu.train.run \
     --config configs/train/FlowFormerCov_randomized.yaml \
     --mode flow --steps "${FLOW_STEPS}" \
+    --restore model/MACVO_FrontendCov.npz \
     --out model/FlowFormerCov_rand_flow.npz 2>&1 | tail -20
 
 log "4/7 phase COV (${COV_STEPS} steps, frozen flow branch, HOLDOUT worlds 1020-1023)"
