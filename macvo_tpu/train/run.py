@@ -48,10 +48,12 @@ def make_pair_batches(seq, batch_size: int, height: int, width: int, rng: np.ran
             gt_flow.append(crop(np.asarray(s.gt_flow), h0, w0))
             if s.flow_mask is not None:
                 mask.append(crop(np.asarray(s.flow_mask), h0, w0))
+        from ..data.datasets.train import _quantize_img
+
         batch = {
-            "img1": np.concatenate(img1, 0),
-            "img2": np.concatenate(img2, 0),
-            "gt_flow": np.concatenate(gt_flow, 0),
+            "img1": _quantize_img(np.concatenate(img1, 0)),
+            "img2": _quantize_img(np.concatenate(img2, 0)),
+            "gt_flow": np.concatenate(gt_flow, 0).astype(np.float16),
         }
         if mask:
             batch["flow_mask"] = np.concatenate(mask, 0)
@@ -64,6 +66,9 @@ def make_eval_fn(model, max_flow: float = 400.0):
 
     @jax.jit
     def evaluate(params, batch):
+        from ..data.datasets.train import upcast_batch
+
+        batch = upcast_batch(batch)
         out = model.apply({"params": params}, batch["img1"], batch["img2"])
         flow = out["flow_final"].astype(jnp.float32)
         gt = batch["gt_flow"]

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..data.datasets.train import upcast_batch
 from ..models.flowformer.network import FlowFormerConfig, FlowFormerCov
 from .loss import sequence_loss
 
@@ -114,6 +115,7 @@ def make_train_step(model: FlowFormerCov, opt: optax.GradientTransformation, cfg
     img1, img2 (B,H,W,3), gt_flow (B,H,W,2), flow_mask (B,H,W,1) or None."""
 
     def loss_fn(params, batch):
+        batch = upcast_batch(batch)   # uint8/f16 shipped batches -> f32 on device
         out = model.apply({"params": params}, batch["img1"], batch["img2"])
         # Head regresses log-sigma; clamp it so an untrained flow branch (huge
         # errors / tiny predicted variance) cannot overflow the NLL to inf.
