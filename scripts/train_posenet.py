@@ -25,8 +25,16 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import numpy as np
 
 
-def build_samples(roots, holdout: int = 1):
-    """Host-side sample construction in numpy (no device contact)."""
+def build_samples(roots, holdout: int = 1, crops_per_pair: int = 3):
+    """Host-side sample construction in numpy (no device contact).
+
+    Each pair contributes the full frame PLUS ``crops_per_pair - 1`` random
+    crops (scale 0.5-0.9). A crop leaves the camera MOTION unchanged but
+    shifts the effective field of view / principal point, so the net learns
+    to use the intrinsics layer instead of memorizing one camera — without
+    this, inference on a different-fx sequence degrades
+    (TartanMotionNet resizes any input to 112x160,
+    modules/frontend_tartanvo.py:205-220)."""
     import cv2
 
     from macvo_tpu.data.datasets.tartanair import TartanAir
@@ -36,6 +44,7 @@ def build_samples(roots, holdout: int = 1):
     )
 
     th, tw = POSENET_SIZE
+    rng = np.random.default_rng(11)
     xs, ys = [], []
     for root in roots:
         seq = TartanAir({"root": str(root), "gtFlow": True, "gtDepth": True,
@@ -43,29 +52,40 @@ def build_samples(roots, holdout: int = 1):
         for i in range(len(seq) - 1):
             f0, f1 = seq[i], seq[i + 1]
             s = f0.stereo
-            flow = cv2.resize(np.asarray(s.gt_flow[0]), (tw, th),
-                              interpolation=cv2.INTER_LINEAR) * FLOW_NORM
-            # depth of the NEW frame, matching the inference call
-            # (Odometry/MACVO.py:194 predict(frame1, match01.flow, depth1))
-            depth = cv2.resize(np.asarray(f1.stereo.gt_depth[0, ..., 0]), (tw, th),
-                               interpolation=cv2.INTER_LINEAR)
-            # cap at 0.5 m depth (mirrors TartanMotionNet inference)
-            inv_depth = np.minimum(1.0 / np.maximum(depth, 1e-6), 2.0) / POSE_DEPTH_NORM
+            flow_full = np.asarray(s.gt_flow[0])
+            depth_full = np.asarray(f1.stereo.gt_depth[0, ..., 0])
             fx, fy = float(s.K[0, 0, 0]), float(s.K[0, 1, 1])
             cx, cy = float(s.K[0, 0, 2]), float(s.K[0, 1, 2])
             H, W = s.imageL.shape[1:3]
-            gx = (np.arange(W, dtype=np.float32) - cx) / fx
-            gy = (np.arange(H, dtype=np.float32) - cy) / fy
-            intr = np.stack(np.meshgrid(gx, gy, indexing="xy"), -1)
-            intr = cv2.resize(intr, (tw, th), interpolation=cv2.INTER_LINEAR)
-            stack = np.concatenate([flow, inv_depth[..., None], intr], -1)
             rel = se3_np.mul(se3_np.inv(np.asarray(f0.gt_pose[0], np.float64)),
                              np.asarray(f1.gt_pose[0], np.float64))
             twist = se3_np.log(rel).astype(np.float32) / POSE_NORM
-            xs.append(stack.astype(np.float32))
-            ys.append(twist)
+
+            for c in range(crops_per_pair):
+                if c == 0:
+                    h0, w0, ch, cw = 0, 0, H, W
+                else:
+                    sc = rng.uniform(0.5, 0.9)
+                    ch, cw = int(H * sc), int(W * sc)
+                    h0 = int(rng.integers(0, H - ch + 1))
+                    w0 = int(rng.integers(0, W - cw + 1))
+                flow = cv2.resize(flow_full[h0:h0 + ch, w0:w0 + cw], (tw, th),
+                                  interpolation=cv2.INTER_LINEAR) * FLOW_NORM
+                # depth of the NEW frame, matching the inference call
+                # (Odometry/MACVO.py:194 predict(frame1, match01.flow, depth1))
+                depth = cv2.resize(depth_full[h0:h0 + ch, w0:w0 + cw], (tw, th),
+                                   interpolation=cv2.INTER_LINEAR)
+                # cap at 0.5 m depth (mirrors TartanMotionNet inference)
+                inv_depth = np.minimum(1.0 / np.maximum(depth, 1e-6), 2.0) / POSE_DEPTH_NORM
+                gx = (np.arange(w0, w0 + cw, dtype=np.float32) - cx) / fx
+                gy = (np.arange(h0, h0 + ch, dtype=np.float32) - cy) / fy
+                intr = np.stack(np.meshgrid(gx, gy, indexing="xy"), -1)
+                intr = cv2.resize(intr, (tw, th), interpolation=cv2.INTER_LINEAR)
+                stack = np.concatenate([flow, inv_depth[..., None], intr], -1)
+                xs.append(stack.astype(np.float32))
+                ys.append(twist)
     X, Y = np.stack(xs), np.stack(ys)
-    n_hold = holdout * 23  # pairs per 24-frame sequence
+    n_hold = holdout * 23 * crops_per_pair  # pairs per 24-frame sequence
     return (X[:-n_hold], Y[:-n_hold]), (X[-n_hold:], Y[-n_hold:])
 
 
