@@ -58,42 +58,67 @@ def _kernel(tokens_ref, wk_ref, bk_ref, wv_ref, bv_ref, qt_ref, wp_ref,
     out_ref[:] = (o.reshape(bp, nq, d) + bias_ref[:]).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("block_pixels", "interpret"))
+@partial(jax.jit, static_argnames=("block_pixels", "chunk_pixels", "interpret"))
 def latent_cross_attention(tokens: jnp.ndarray, wk: jnp.ndarray, bk: jnp.ndarray,
                            wv: jnp.ndarray, bv: jnp.ndarray, q: jnp.ndarray,
                            wp: jnp.ndarray, bias: jnp.ndarray,
-                           block_pixels: int = 128, interpret: bool = False):
+                           block_pixels: int = 128, chunk_pixels: int = 2048,
+                           interpret: bool = False):
     """tokens (N, T, D_in); wk/wv (D_in, D) with input_proj folded in;
     bk/bv (D,); q (Q, D) query projection of the latents (unscaled); wp
     (D, D) output projection; bias (Q, D) = proj bias + latents (the
-    residual). Returns (N, Q, D) in tokens.dtype."""
+    residual). Returns (N, Q, D) in tokens.dtype.
+
+    ``chunk_pixels`` caps the size of any single pallas_call output: XLA's
+    buffer assignment may scope a custom-call result into VMEM for consumer
+    locality, and one (N, Q, D) buffer at N = 6400 (640x640 inputs) blows the
+    16 MB scoped-vmem limit. Chunks are processed by a lax.map (sequential,
+    one custom call per chunk) so every result buffer stays well under it.
+    Measured on v5e: the scoped allocation is ~2.9x the raw bf16 result bytes
+    (tiling + double buffering), so 2048 pixels ≈ 12 M of the 16 M budget.
+    """
     n, t, d_in = tokens.shape
     nq, d = q.shape
     bp = min(block_pixels, n)
-    pad = (-n) % bp
+    # The kernel materializes k/v as (bp*t, d) fp32 in VMEM; cap the row count
+    # at the measured-safe 128x80 working set (~13 M with the token block) so
+    # larger patch-token counts (t=100 at 640x640) shrink the pixel block
+    # instead of blowing the 16 M scoped-vmem limit.
+    while bp > 8 and bp * t > 128 * 80:
+        bp //= 2
+    qt = (q.astype(jnp.float32) * jnp.float32(d) ** -0.5).T  # (D, Q)
+    bk2, bv2 = bk.reshape(1, d), bv.reshape(1, d)
+
+    def run(chunk):
+        m = chunk.shape[0]
+        return pl.pallas_call(
+            _kernel,
+            out_shape=jax.ShapeDtypeStruct((m, nq, d), chunk.dtype),
+            grid=(m // bp,),
+            in_specs=[
+                pl.BlockSpec((bp, t, d_in), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_in, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_in, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bp, nq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(chunk, wk, bk2, wv, bv2, qt, wp, bias)
+
+    chunk = max(bp, (min(chunk_pixels, n) // bp) * bp)
+    pad = (-n) % chunk
     if pad:
         tokens = jnp.pad(tokens, ((0, pad), (0, 0), (0, 0)))
-    grid = (tokens.shape[0] // bp,)
-    qt = (q.astype(jnp.float32) * jnp.float32(d) ** -0.5).T  # (D, Q)
-
-    out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((tokens.shape[0], nq, d), tokens.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bp, t, d_in), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_in, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_in, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, nq), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bp, nq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(tokens.astype(jnp.float32) if tokens.dtype == jnp.float32 else tokens,
-      wk, bk.reshape(1, d), wv, bv.reshape(1, d), qt, wp, bias)
+    n_chunks = tokens.shape[0] // chunk
+    if n_chunks == 1:
+        out = run(tokens)
+    else:
+        out = jax.lax.map(run, tokens.reshape(n_chunks, chunk, t, d_in))
+        out = out.reshape(n_chunks * chunk, nq, d)
     return out[:n]
 
 

@@ -103,3 +103,11 @@ def test_fused_latent_attention_interpret_matches_xla():
         tokens, wk, bk, wv, bv, q, wp, bias, block_pixels=16, interpret=True))
     ref = np.asarray(latent_cross_attention_xla(tokens, wk, bk, wv, bv, q, wp, bias))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    # Chunked path (chunk_pixels < n forces the lax.map over >1 pallas call —
+    # the 640x640 scoped-vmem-OOM guard) must produce identical results,
+    # including the non-divisible tail (n=40 -> chunks of 32 -> pad 24).
+    chunked = np.asarray(latent_cross_attention(
+        tokens, wk, bk, wv, bv, q, wp, bias,
+        block_pixels=16, chunk_pixels=32, interpret=True))
+    np.testing.assert_allclose(chunked, ref, rtol=2e-4, atol=2e-4)
