@@ -111,3 +111,33 @@ def test_fused_latent_attention_interpret_matches_xla():
         tokens, wk, bk, wv, bv, q, wp, bias,
         block_pixels=16, chunk_pixels=32, interpret=True))
     np.testing.assert_allclose(chunked, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_latent_attention_large_token_count_shrinks_block():
+    """640x640 inputs give T=100 patch tokens per pixel; the kernel must
+    halve its pixel block (bp*T cap) rather than blow scoped VMEM. Exercises
+    the halving + chunking paths together in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from macvo_tpu.ops.latent_attn import (
+        latent_cross_attention,
+        latent_cross_attention_xla,
+    )
+
+    n, t, d_in, d, nq = 256, 100, 64, 128, 8
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    tokens = jax.random.normal(keys[0], (n, t, d_in), jnp.float32)
+    wk = jax.random.normal(keys[1], (d_in, d)) * 0.1
+    bk = jax.random.normal(keys[2], (d,)) * 0.1
+    wv = jax.random.normal(keys[3], (d_in, d)) * 0.1
+    bv = jax.random.normal(keys[4], (d,)) * 0.1
+    q = jax.random.normal(keys[5], (nq, d))
+    wp = jax.random.normal(keys[6], (d, d)) * 0.1
+    bias = jax.random.normal(keys[7], (nq, d))
+
+    out = np.asarray(latent_cross_attention(
+        tokens, wk, bk, wv, bv, q, wp, bias,
+        block_pixels=128, chunk_pixels=128, interpret=True))
+    ref = np.asarray(latent_cross_attention_xla(tokens, wk, bk, wv, bv, q, wp, bias))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
