@@ -18,6 +18,22 @@ timeout 2700 python -m macvo_tpu.train.run \
     --restore model/FlowFormerCov_rand_flow.npz \
     --out model/MACVO_FrontendCov_v2.npz 2>&1 | tail -12
 
+echo "=== $(date -u +%FT%TZ) real-asset learned E2E (v2 checkpoint, bf16 Fast-style)"
+timeout 1800 python - <<'EOF'
+import json
+from pathlib import Path
+from tests.test_real_asset import real_sequence, make_config, run_and_evaluate
+seq = real_sequence(gt_frontend=False)
+cfg = make_config({"type": "FlowFormerCovFrontend", "args": {
+    "weight": "./model/MACVO_FrontendCov_v2.npz",
+    "enc_dtype": "bf16", "dec_dtype": "bf16",
+    "decoder_depth": 12, "enforce_positive_disparity": False}})
+m = run_and_evaluate(cfg, seq)
+rec = {k: {"rmse": float(v.rmse), "mean": float(v.mean)} for k, v in m.items()}
+Path("eval_real_asset_v2.json").write_text(json.dumps(rec, indent=1) + "\n")
+print(json.dumps(rec, indent=1))
+EOF
+
 echo "=== $(date -u +%FT%TZ) real-asset dense diagnostics (v2, full 640x640, bf16)"
 timeout 1500 python - <<'EOF'
 from macvo_tpu.data.datasets.tartanair import TartanAirV2
@@ -35,22 +51,6 @@ dcfg, _ = build_dynamic_config({"type": "FlowFormerCovDepth", "args": {
     "weight": "./model/MACVO_FrontendCov_v2.npz", "enc_dtype": "bf16",
     "dec_dtype": "bf16", "decoder_depth": 12, "enforce_positive_disparity": False}})
 print("DEPTH v2:", evaluate_depth(IStereoDepth.instantiate(dcfg.type, dcfg.args), seq), flush=True)
-EOF
-
-echo "=== $(date -u +%FT%TZ) real-asset learned E2E (v2 checkpoint, bf16 Fast-style)"
-timeout 1800 python - <<'EOF'
-import json
-from pathlib import Path
-from tests.test_real_asset import real_sequence, make_config, run_and_evaluate
-seq = real_sequence(gt_frontend=False)
-cfg = make_config({"type": "FlowFormerCovFrontend", "args": {
-    "weight": "./model/MACVO_FrontendCov_v2.npz",
-    "enc_dtype": "bf16", "dec_dtype": "bf16",
-    "decoder_depth": 12, "enforce_positive_disparity": False}})
-m = run_and_evaluate(cfg, seq)
-rec = {k: {"rmse": float(v.rmse), "mean": float(v.mean)} for k, v in m.items()}
-Path("eval_real_asset_v2.json").write_text(json.dumps(rec, indent=1) + "\n")
-print(json.dumps(rec, indent=1))
 EOF
 
 echo "=== $(date -u +%FT%TZ) covariance calibration (real + synthetic holdout)"
