@@ -94,6 +94,32 @@ def fbm_noise(u: np.ndarray, v: np.ndarray, seed: int, octaves: int = 4,
     return out / norm
 
 
+def brick_field(u: np.ndarray, v: np.ndarray, seed: int,
+                footprint=None) -> np.ndarray:
+    """Staggered brick/block pattern with dark mortar joints and per-brick
+    albedo jitter — the dominant texture family of the real TartanAir v2
+    asset (brick walls, paved ground). Rows have unit height, bricks are two
+    units wide, odd rows shift by one unit. Returns a scalar field in [0,1];
+    ``footprint`` fades the joints (then the whole pattern) to the mean where
+    they fall below pixel scale, mirroring the other generators' analytic AA.
+    """
+    row = np.floor(v)
+    off = np.where(row.astype(np.int64) % 2 == 0, 0.0, 1.0)
+    col = np.floor((u + off) / 2.0)
+    albedo = 0.30 + 0.55 * _hash01(col.astype(np.int64), row.astype(np.int64), seed)
+    bu = (u + off) % 2.0
+    du = np.minimum(bu, 2.0 - bu)          # distance to vertical joint (u units)
+    dv = np.minimum(v % 1.0, 1.0 - (v % 1.0))  # distance to horizontal joint
+    mw = 0.07                               # joint half-width in row units
+    joint = (du < mw) | (dv < mw)
+    val = np.where(joint, 0.10, albedo)
+    # joints alias first (period ~2*mw), then the brick grid itself (period 1)
+    a_joint = _band_atten(4.0 * mw, footprint)
+    val = a_joint * val + (1.0 - a_joint) * albedo
+    a_grid = _band_atten(1.0, footprint)
+    return a_grid * val + (1.0 - a_grid) * 0.55
+
+
 def voronoi_cells(u: np.ndarray, v: np.ndarray, seed: int) -> np.ndarray:
     """Nearest-feature cell id in [0,1] — sharp random polygonal edges."""
     iu, iv = np.floor(u).astype(np.int64), np.floor(v).astype(np.int64)
@@ -122,12 +148,16 @@ class RandomTexture:
     def __init__(self, seed: int) -> None:
         rng = np.random.default_rng(seed)
         self.seed = seed
-        w = rng.dirichlet(np.ones(3) * 0.7)
+        w = rng.dirichlet(np.ones(4) * 0.7)
         self.weights = w
         self.scales = rng.uniform(0.15, 2.5, size=3)
         self.stripe_ang = rng.uniform(0, np.pi)
         self.stripe_freq = rng.uniform(0.5, 3.0)
         self.stripe_duty = rng.uniform(0.3, 0.7)
+        # brick rows per world unit: 1.5-6 -> 17-67 cm brick height, the
+        # high-frequency regular structure real flow nets feed on
+        self.brick_scale = rng.uniform(1.5, 6.0)
+        self.brick_ang = rng.uniform(-0.15, 0.15)  # near-axis-aligned courses
         # palette: 2 anchor colors lerped by the scalar field
         self.c0 = rng.uniform(0.05, 0.95, size=3)
         self.c1 = rng.uniform(0.05, 0.95, size=3)
@@ -155,6 +185,14 @@ class RandomTexture:
             sv = (u * s) * np.cos(self.stripe_ang) + (v * s) * np.sin(self.stripe_ang)
             val = ((sv * self.stripe_freq) % 1.0 < self.stripe_duty).astype(np.float64)
             field += self.weights[2] * (a * val + (1.0 - a) * self.stripe_duty)
+        # bricks (rows per unit = brick_scale)
+        if self.weights[3] >= 0.05:
+            s = self.brick_scale
+            ca, sa = np.cos(self.brick_ang), np.sin(self.brick_ang)
+            ub = (u * ca - v * sa) * s
+            vb = (u * sa + v * ca) * s
+            fp = None if footprint is None else footprint * s
+            field += self.weights[3] * brick_field(ub, vb, self.seed + 4000, fp)
         field = np.clip(field, 0.0, 1.0)[..., None]
         return self.c0 * (1 - field) + self.c1 * field
 
@@ -227,6 +265,48 @@ class SpherePrim(_Primitive):
         return az, po, (-n if self.inside else n)
 
 
+class SkyDome(SpherePrim):
+    """Far emissive shell shaded by ray direction: vertical gradient +
+    sun glow around the light direction + fbm cloud bands — the real asset's
+    sky is a bright gradient with backlit clouds, not procedural noise.
+    Direction-based shading is photometrically consistent across nearby
+    views because the shell sits at 30 km (direction change ~1e-5 rad)."""
+
+    def __init__(self, center, radius: float, seed: int,
+                 sun_dir: np.ndarray) -> None:
+        super().__init__(center, radius, seed, inside=True)
+        self.seed = seed
+        rng = np.random.default_rng(seed)
+        t = rng.uniform()
+        self.zenith = np.array([0.30, 0.42, 0.68]) * (1 - t) \
+            + np.array([0.55, 0.65, 0.82]) * t
+        w = rng.uniform()
+        self.horizon = np.array([0.92, 0.80, 0.62]) * w \
+            + np.array([0.88, 0.90, 0.94]) * (1 - w)
+        self.sun = -np.asarray(sun_dir, np.float64)  # toward the sun
+        self.sun /= np.linalg.norm(self.sun)
+        self.glow_exp = rng.uniform(8.0, 64.0)
+        self.glow_gain = rng.uniform(0.3, 1.0)
+        self.cloud_amt = rng.uniform(0.0, 0.55)
+        self.cloud_scale = rng.uniform(2.0, 6.0)
+
+    def shade(self, dirs: np.ndarray) -> np.ndarray:
+        """dirs (M,3) unit world rays -> (M,3) RGB in [0,1]."""
+        elev = np.clip(-dirs[..., 2], 0.0, 1.0) ** 0.6  # NED: up = -z
+        base = self.horizon[None] * (1 - elev[..., None]) \
+            + self.zenith[None] * elev[..., None]
+        az = np.arctan2(dirs[..., 1], dirs[..., 0])
+        c = fbm_noise(az * self.cloud_scale,
+                      np.arccos(np.clip(dirs[..., 2], -1, 1)) * self.cloud_scale,
+                      self.seed + 77, octaves=3)
+        base = base + (self.cloud_amt * (c - 0.5) * (1 - 0.5 * elev))[..., None]
+        cos = np.clip(dirs @ self.sun, 0.0, 1.0)
+        glow = self.glow_gain * cos ** self.glow_exp \
+            + 1.5 * cos ** (self.glow_exp * 8.0)
+        base = base + glow[..., None] * np.array([1.0, 0.95, 0.85])[None]
+        return np.clip(base, 0.0, 1.0)
+
+
 class BoxPrim(_Primitive):
     def __init__(self, lo, hi, seed: int) -> None:
         self.lo = np.asarray(lo, np.float64)
@@ -264,10 +344,14 @@ def build_random_world(seed: int) -> tuple[list[_Primitive], np.ndarray]:
     6-14 floating boxes/spheres at 2-40 m. Returns (primitives, light_dir)."""
     rng = np.random.default_rng(seed)
     prims: list[_Primitive] = []
+    # directional light drawn FIRST so the sky's sun matches it
+    light = rng.normal(size=3)
+    light[2] = -abs(light[2]) - 0.5  # from above (NED z points down)
+    light /= np.linalg.norm(light)
     # ground (z down is positive in NED -> ground at z = +h below camera)
     prims.append(PlanePrim([0, 0, 1], rng.uniform(1.5, 4.0), seed * 7 + 1))
     # sky dome: far emissive shell (matches the real asset's ~30 km sky)
-    prims.append(SpherePrim([0, 0, 0], 30000.0, seed * 7 + 2, inside=True))
+    prims.append(SkyDome([0, 0, 0], 30000.0, seed * 7 + 2, sun_dir=light))
     # optional large walls
     for k in range(rng.integers(0, 3)):
         ang = rng.uniform(0, 2 * np.pi)
@@ -287,10 +371,14 @@ def build_random_world(seed: int) -> tuple[list[_Primitive], np.ndarray]:
         else:
             half = rng.uniform(0.3, 1.0, size=3) * size * 0.5
             prims.append(BoxPrim(center - half, center + half, seed * 31 + 17 * k + 5))
-    light = rng.normal(size=3)
-    light[2] = -abs(light[2]) - 0.5  # from above (NED z points down)
-    light /= np.linalg.norm(light)
-    return prims, light
+    # warm-vs-neutral sun with a complementary cool ambient (real-asset look:
+    # low warm sun + blue skylight); grayscale-equivalent weights preserved
+    warm = rng.uniform(0.0, 1.0)
+    light_rgb = (np.array([0.52, 0.45, 0.33]) * warm
+                 + np.array([0.45, 0.45, 0.45]) * (1 - warm))
+    ambient_rgb = (np.array([0.50, 0.55, 0.62]) * warm
+                   + np.array([0.55, 0.55, 0.55]) * (1 - warm))
+    return prims, light, {"light_rgb": light_rgb, "ambient_rgb": ambient_rgb}
 
 
 def random_trajectory(n_frames: int, seed: int) -> np.ndarray:
@@ -324,9 +412,13 @@ class WorldRenderer:
     """Analytic ray-cast renderer over a primitive list with exact GT."""
 
     def __init__(self, prims: list[_Primitive], light: np.ndarray,
-                 K: np.ndarray, width: int, height: int) -> None:
+                 K: np.ndarray, width: int, height: int,
+                 shading: dict | None = None) -> None:
         self.prims = prims
         self.light = light
+        shading = shading or {}
+        self.light_rgb = np.asarray(shading.get("light_rgb", [0.45, 0.45, 0.45]))
+        self.ambient_rgb = np.asarray(shading.get("ambient_rgb", [0.55, 0.55, 0.55]))
         self.K = K
         self.W, self.H = width, height
         u, v = np.meshgrid(np.arange(width), np.arange(height))
@@ -360,6 +452,9 @@ class WorldRenderer:
             m = hit_id == i
             if not m.any():
                 continue
+            if isinstance(p, SkyDome):
+                img[m] = p.shade(rays_w[m])
+                continue
             # texture/shade only the hit pixels — full-grid eval per primitive
             # dominated render time (~15 prims x 3 generators x HW points)
             u, v, n = p.surface(pts_w[m])
@@ -372,8 +467,9 @@ class WorldRenderer:
             else:
                 foot = np.minimum(dist[m], 1e6) / fx / cosi
             rgb = p.texture(u, v, footprint=foot)
-            lam = 0.55 + 0.45 * np.clip(-(n @ self.light), 0.0, 1.0)
-            img[m] = rgb * lam[..., None]
+            cos = np.clip(-(n @ self.light), 0.0, 1.0)
+            lam = self.ambient_rgb[None] + self.light_rgb[None] * cos[..., None]
+            img[m] = np.clip(rgb * lam, 0.0, 1.0)
         # depth = forward (x) component of the camera-frame point
         depth = dist * self.ray_fwd
         return (img.astype(np.float32), depth.astype(np.float32),
@@ -422,8 +518,9 @@ class RandomizedStereo(SequenceBase[StereoFrame]):
         # via the native-resolution trace).
         self.ss = int(getattr(cfg, "supersample", 1))
         seed = int(getattr(cfg, "seed", 0))
-        prims, light = build_random_world(seed)
-        self.renderer = WorldRenderer(prims, light, self.K.astype(np.float64), W, H)
+        prims, light, shading = build_random_world(seed)
+        self.renderer = WorldRenderer(prims, light, self.K.astype(np.float64), W, H,
+                                      shading=shading)
         self._ss_renderer = None
         if self.ss > 1:
             # s high-res pixel centers must tile each native pixel:
@@ -433,7 +530,8 @@ class RandomizedStereo(SequenceBase[StereoFrame]):
             Kss[1, 1] *= self.ss
             Kss[0, 2] = self.ss * Kss[0, 2] + (self.ss - 1) / 2.0
             Kss[1, 2] = self.ss * Kss[1, 2] + (self.ss - 1) / 2.0
-            self._ss_renderer = WorldRenderer(prims, light, Kss, W * self.ss, H * self.ss)
+            self._ss_renderer = WorldRenderer(prims, light, Kss, W * self.ss, H * self.ss,
+                                              shading=shading)
         self.poses = random_trajectory(self.n_frames, seed + 999)
         self._rcache: dict[int, tuple] = {}
         self._cache: dict[int, StereoFrame] = {}
