@@ -295,9 +295,13 @@ class SkyDome(SpherePrim):
         elev = np.clip(-dirs[..., 2], 0.0, 1.0) ** 0.6  # NED: up = -z
         base = self.horizon[None] * (1 - elev[..., None]) \
             + self.zenith[None] * elev[..., None]
-        az = np.arctan2(dirs[..., 1], dirs[..., 0])
-        c = fbm_noise(az * self.cloud_scale,
-                      np.arccos(np.clip(dirs[..., 2], -1, 1)) * self.cloud_scale,
+        # Clouds are sampled on the (x, y) direction components directly —
+        # a seam-free domain — rather than over arctan2 azimuth, whose ±pi
+        # wrap put a spurious high-gradient vertical seam in the sky that
+        # moved with camera yaw (ADVICE r3).
+        c = fbm_noise(dirs[..., 0] * self.cloud_scale,
+                      dirs[..., 1] * self.cloud_scale
+                      + np.arccos(np.clip(dirs[..., 2], -1, 1)) * self.cloud_scale,
                       self.seed + 77, octaves=3)
         base = base + (self.cloud_amt * (c - 0.5) * (1 - 0.5 * elev))[..., None]
         cos = np.clip(dirs @ self.sun, 0.0, 1.0)
@@ -339,9 +343,10 @@ class BoxPrim(_Primitive):
 # -- randomized world ------------------------------------------------------------
 
 
-def build_random_world(seed: int) -> tuple[list[_Primitive], np.ndarray]:
+def build_random_world(seed: int) -> tuple[list[_Primitive], np.ndarray, dict]:
     """Seeded outdoor-ish world: ground plane, sky dome, 0-2 large walls,
-    6-14 floating boxes/spheres at 2-40 m. Returns (primitives, light_dir)."""
+    6-14 floating boxes/spheres at 2-40 m.
+    Returns (primitives, light_dir, shading dict with light/ambient RGB)."""
     rng = np.random.default_rng(seed)
     prims: list[_Primitive] = []
     # directional light drawn FIRST so the sky's sun matches it

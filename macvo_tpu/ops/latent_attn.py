@@ -86,6 +86,11 @@ def latent_cross_attention(tokens: jnp.ndarray, wk: jnp.ndarray, bk: jnp.ndarray
     # instead of blowing the 16 M scoped-vmem limit.
     while bp > 8 and bp * t > 128 * 80:
         bp //= 2
+    if bp * t > 128 * 80:
+        # Even the minimum pixel block exceeds the measured-safe VMEM working
+        # set (t > 1280 tokens) — fall back to the XLA twin instead of an
+        # opaque on-chip OOM (ADVICE r3).
+        return latent_cross_attention_xla(tokens, wk, bk, wv, bv, q, wp, bias)
     qt = (q.astype(jnp.float32) * jnp.float32(d) ** -0.5).T  # (D, Q)
     bk2, bv2 = bk.reshape(1, d), bv.reshape(1, d)
 
