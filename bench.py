@@ -24,6 +24,11 @@ Window selection rule: we run two measurement windows and report the FASTER
 one as "value" (the remote-TPU tunnel adds multi-ms latency jitter; the faster
 window better estimates pipeline cost). Both windows are reported in the JSON
 ("windows_fps") so the selection is auditable.
+
+A best-effort full-resolution leg (640x640 — the real asset's and the
+reference E2E's resolution, VERDICT r3 #7) follows the primary measurement
+and emits a SECOND line repeating the primary fields plus
+"pipeline_fps_640x640"; disable with MACVO_BENCH_640=0.
 """
 
 from __future__ import annotations
@@ -201,6 +206,8 @@ def main() -> None:
             elapsed = time.perf_counter() - t0
             windows.append(n_meas / elapsed)
         fps = max(windows)
+        # Emit the primary metric IMMEDIATELY — if the full-res leg below is
+        # killed by an external timeout, the round's number is already out.
         emit(fps, windows, {"weight": os.path.basename(weight)})
         # Only a real default-config run (TPU, 480x640) updates the last-good
         # record — CPU/tiny-size drives must not clobber on-chip evidence.
@@ -210,6 +217,43 @@ def main() -> None:
                 "windows_fps": [round(w, 3) for w in windows],
                 "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }) + "\n")
+
+        # Full-resolution leg (VERDICT r3 #7): the real asset — and the
+        # reference's E2E — runs 640x640; record pipeline_fps_640x640
+        # alongside. The second line REPEATS the primary metric fields so a
+        # parser taking the last line still reads pipeline_fps_480x640.
+        if (os.environ.get("MACVO_BENCH_640", "1") != "0"
+                and (width, height) == (640, 480)):
+            try:
+                odom640, _ = build_odometry(640, 640)
+                seq640 = SyntheticStereo({
+                    "n_frames": 4, "width": 640, "height": 640,
+                    "fx": 320.0, "fy": 320.0, "cx": 320.0, "cy": 320.0,
+                })
+                frames640 = [to_device(seq640[i]) for i in range(4)]
+                odom640.run(frames640[0])
+                for i in range(4):
+                    odom640.run(frames640[1 + i % 3])
+                odom640.Optimizer.write_map(odom640.graph)
+                time.sleep(2.0)
+                w640: list[float] = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    for i in range(12):
+                        odom640.run(frames640[1 + i % 3])
+                    odom640.Optimizer.write_map(odom640.graph)
+                    w640.append(12 / (time.perf_counter() - t0))
+                emit(fps, windows, {
+                    "weight": os.path.basename(weight),
+                    "pipeline_fps_640x640": round(max(w640), 3),
+                    "windows_fps_640x640": [round(x, 3) for x in w640],
+                })
+            except Exception as e:  # noqa: BLE001 — full-res leg is best-effort
+                emit(fps, windows, {
+                    "weight": os.path.basename(weight),
+                    "pipeline_fps_640x640": None,
+                    "error_640x640": f"{type(e).__name__}: {e}"[:200],
+                })
     except Exception as e:  # noqa: BLE001 — never lose the round's evidence
         fail_soft(f"{type(e).__name__}: {e}")
 
