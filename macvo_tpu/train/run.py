@@ -106,6 +106,11 @@ def main() -> None:
     parser.add_argument("--log_freq", type=int, default=100)
     parser.add_argument("--no_resume", action="store_true",
                         help="ignore an existing full-state autosave next to --out")
+    parser.add_argument("--max_session_steps", type=int, default=0,
+                        help="exit cleanly (autosave, NO done marker) after N steps in "
+                             "this invocation; a supervising chain re-invokes and resumes. "
+                             "Bounds per-process memory growth and tunnel-stall exposure. "
+                             "0 = unlimited")
     args = parser.parse_args()
 
     from ..data import SequenceBase
@@ -215,6 +220,14 @@ def main() -> None:
         for i, batch in enumerate(batches, start=start_step):
             if i >= tcfg.num_steps:
                 break
+            if args.max_session_steps and i - start_step >= args.max_session_steps:
+                save_params(out_path, state.params)
+                save_train_state(state_path, state)
+                Logger.info(
+                    f"session step budget ({args.max_session_steps}) reached @ "
+                    f"step {i}/{tcfg.num_steps}; autosaved — re-invoke to continue")
+                metrics_file.close()
+                return
             state, aux = step_fn(state, batch)
             if (i + 1) % args.log_freq == 0:
                 loss = float(aux["loss"])
