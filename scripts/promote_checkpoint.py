@@ -69,7 +69,13 @@ def main() -> None:
     ap.add_argument("--candidate", type=str, required=True)
     ap.add_argument("--force", action="store_true", help="promote even if the gate fails")
     ap.add_argument("--dry-run", action="store_true", help="measure, never promote")
+    ap.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"],
+                    help="cpu lets promotion run while the chip trains")
     args = ap.parse_args()
+
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     cand = Path(args.candidate)
     assert cand.exists(), cand
@@ -92,12 +98,15 @@ def main() -> None:
               "both numbers; not promoting (use --force to override)")
         sys.exit(2)
 
+    import jax
+
     shutil.copyfile(cand, SHIPPED)
     RECORD.write_text(json.dumps({
         "weight": SHIPPED.name,
         "promoted_from": cand.name,
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "hardware": "TPU v5 lite (axon), eval dtype bf16 (flow) / fp32 (E2E)",
+        "hardware": f"{jax.devices()[0].device_kind} ({jax.devices()[0].platform}), "
+                    "eval dtype bf16 (flow) / fp32 (E2E)",
         "real_asset": "assets/test_sequence/TartanAir2_abs_P000",
         "flow_epe_px": round(new["flow_epe_px"], 4),
         "ate_m": new["ate_m"],
