@@ -208,8 +208,19 @@ def main() -> None:
                  + 2 * log_sigmas[-1]) * valid) / jnp.maximum(jnp.sum(valid) * 2, 1.0)
             return total, last_nll
 
-    sched = optax.linear_onecycle_schedule(args.steps, args.lr)
-    opt = optax.chain(optax.clip_by_global_norm(1.0),
+    # Zero-length schedule intervals (tiny smoke runs) make optax's piecewise
+    # interpolation divide by zero -> NaN lr; same guard as train/step.py.
+    if args.steps >= 20:
+        sched = optax.linear_onecycle_schedule(args.steps, args.lr)
+    else:
+        sched = args.lr
+    # zero_nans BEFORE the global-norm clip: one non-finite gradient (a
+    # pathological batch) otherwise makes the global norm NaN, which the clip
+    # multiplies into EVERY update and the parameters never recover — the
+    # observed failure on-chip was finite losses for hundreds of steps, then
+    # NaN forever. With zero_nans the poisoned batch becomes a skipped step.
+    opt = optax.chain(optax.zero_nans(),
+                      optax.clip_by_global_norm(1.0),
                       optax.adamw(sched, weight_decay=1e-5))
     if trainable == "freeze_pwc":
         opt = optax.multi_transform(
@@ -257,8 +268,13 @@ def main() -> None:
                   f"holdout={mh:.3f} real={mr:.3f} ({rate:.2f} it/s)", flush=True)
             with csv.open("a") as f:
                 f.write(f"{i + 1},{float(loss):.5f},{mh:.5f},{mr:.5f}\n")
-            save_params(out_path, params)
-    save_params(out_path, params)
+            if np.isfinite(mh):
+                save_params(out_path, params)
+            else:
+                print("NONFINITE eval — checkpoint NOT overwritten", flush=True)
+    mh, _ = run_eval(params)
+    if np.isfinite(mh):
+        save_params(out_path, params)
     print(f"saved {out_path}")
 
 
