@@ -46,7 +46,7 @@ def main() -> None:
 
     from macvo_tpu.data import DevicePrefetcher, SequenceBase, smart_transform
     from macvo_tpu.evaluation import evaluate_sandbox
-    from macvo_tpu.odometry import MACVO
+    from macvo_tpu.odometry import MACVO, TartanVO
     from macvo_tpu.utils import timer
     from macvo_tpu.utils.config import load_config, namespace_to_dict, save_config
     from macvo_tpu.utils.logging import Logger, print_as_table
@@ -75,8 +75,12 @@ def main() -> None:
     if args.preload:
         seq = seq.preload()
 
-    MACVO.is_valid_config(odom_cfg.Odometry)
-    system = MACVO.from_config(odom_cfg)
+    # Odometry-class dispatch (reference: MACVO.py builds the class the
+    # --odom config names — MACVO or a baseline, Odometry/BaselineTartanVO.py).
+    odom_cls = {"MACVO": MACVO, "TartanVO": TartanVO}[
+        getattr(odom_cfg.Odometry, "type", "MACVO")]
+    odom_cls.is_valid_config(odom_cfg.Odometry)
+    system = odom_cls.from_config(odom_cfg)
     Logger.info(f"Running {project_name} on {seq} -> {sandbox.folder}")
     # Stage frames onto the device one step ahead: decode + upload overlap the
     # previous frame's compute (replaces the reference's thread preloader for

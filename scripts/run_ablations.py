@@ -34,6 +34,9 @@ def main() -> None:
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+        # Reference-grade f64 backend solve on CPU (the ablation configs pin
+        # use_fp64: true; without x64 jax silently truncates to f32).
+        jax.config.update("jax_enable_x64", True)
 
     import numpy as np  # noqa: F401
 
@@ -55,6 +58,16 @@ def main() -> None:
     for cfg_path in configs:
         name = cfg_path.stem.replace("TartanAirv2_", "")
         odom_cfg, _ = load_config(cfg_path)
+        if jax.default_backend() == "tpu":
+            # The chip has no f64: swap the ablation configs' pinned
+            # TwoFrame_PGO/use_fp64 solver for the shipping on-chip path —
+            # locally re-anchored f32 LM (Local_TwoFrame_PGO), whose parity
+            # with the f64 solve is test-pinned (tests/test_tpu.py). Plain
+            # f32 icp on the km-scale 'abs' TartanAir v2 coordinates
+            # diverges; every variant uses the SAME solver so the
+            # covariance comparison is unaffected.
+            odom_cfg.Odometry.optimizer.type = "Local_TwoFrame_PGO"
+            odom_cfg.Odometry.optimizer.args.use_fp64 = False
         seq = SequenceBase.from_config(seq_cfg)
         if args.frames:
             seq.clip(0, args.frames)
