@@ -100,13 +100,16 @@ def main() -> None:
 
     import jax
 
+    platform = jax.devices()[0].platform
+    hardware = f"{jax.devices()[0].device_kind} ({platform})"
+    measured_utc = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     shutil.copyfile(cand, SHIPPED)
     RECORD.write_text(json.dumps({
         "weight": SHIPPED.name,
         "promoted_from": cand.name,
-        "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "hardware": f"{jax.devices()[0].device_kind} ({jax.devices()[0].platform}), "
-                    "eval dtype bf16 (flow) / fp32 (E2E)",
+        "measured_utc": measured_utc,
+        "platform": platform,
+        "hardware": hardware + ", eval dtype bf16 (flow) / fp32 (E2E)",
         "real_asset": "assets/test_sequence/TartanAir2_abs_P000",
         "flow_epe_px": round(new["flow_epe_px"], 4),
         "ate_m": new["ate_m"],
@@ -115,7 +118,18 @@ def main() -> None:
                 "derive from this file (VERDICT r3 weak #1); this record was written "
                 "by scripts/promote_checkpoint.py at promotion time.",
     }, indent=1) + "\n")
-    E2E_JSON.write_text(json.dumps(new["e2e"], indent=1) + "\n")
+    # eval_real_asset.json is the CANONICAL E2E record cited by the README.
+    # Only this script writes it, and it carries a platform/provenance stamp
+    # (ADVICE r4 high: the slow test used to overwrite it on arbitrary
+    # platforms, leaving the repo with contradictory accuracy numbers).
+    E2E_JSON.write_text(json.dumps({
+        "weight": SHIPPED.name,
+        "measured_utc": measured_utc,
+        "platform": platform,
+        "hardware": hardware,
+        "writer": "scripts/promote_checkpoint.py",
+        "metrics": new["e2e"],
+    }, indent=1) + "\n")
     # Keep the metrics CSV provenance: the candidate's training curve becomes
     # the shipped checkpoint's curve.
     cand_csv = cand.with_name(cand.stem + "_metrics.csv")

@@ -13,7 +13,8 @@ Two tiers:
   * Learned-frontend run (``-m slow``): the shipped FlowFormerCov checkpoint
     on real photographs — the accuracy-parity measurement VERDICT r2 asked
     for. The number (whatever it is) is reported via assert message and
-    written to eval_real_asset.json for the README table.
+    written to evidence/eval_real_asset_<platform>.json; the canonical
+    eval_real_asset.json (README table) is written only at promotion time.
 """
 
 import json
@@ -119,17 +120,29 @@ def test_real_asset_gt_frontend():
 @pytest.mark.slow
 def test_real_asset_learned_frontend():
     """Shipped FlowFormerCov checkpoint on real photographs, full 640x640,
-    fp32 (reference E2E runs fp32). Records metrics to eval_real_asset.json;
-    asserts only sanity (finite, non-divergent), the parity gap is REPORTED —
-    see README 'Real-data accuracy' table."""
+    fp32 (reference E2E runs fp32). Records metrics to a PLATFORM-STAMPED
+    side file under evidence/ — the canonical eval_real_asset.json is written
+    only by scripts/promote_checkpoint.py at promotion time (ADVICE r4 high:
+    this test used to overwrite the canonical record on arbitrary platforms,
+    leaving the repo's accuracy story self-contradictory). Asserts only
+    sanity + a regression pin; the parity gap is REPORTED — see README
+    'Real-data accuracy' table."""
+    import jax
+
     seq = real_sequence(gt_frontend=False)
     cfg = make_config({"type": "FlowFormerCovFrontend", "args": {
         "weight": "./model/MACVO_FrontendCov.npz",
         "enc_dtype": "fp32", "dec_dtype": "fp32",
         "decoder_depth": 12, "enforce_positive_disparity": False}})
     m = run_and_evaluate(cfg, seq)
-    rec = {k: {"rmse": float(v.rmse), "mean": float(v.mean)} for k, v in m.items()}
-    out = Path(__file__).parent.parent / "eval_real_asset.json"
+    platform = jax.devices()[0].platform
+    rec = {
+        "weight": "MACVO_FrontendCov.npz",
+        "platform": platform,
+        "writer": "tests/test_real_asset.py::test_real_asset_learned_frontend",
+        "metrics": {k: {"rmse": float(v.rmse), "mean": float(v.mean)} for k, v in m.items()},
+    }
+    out = Path(__file__).parent.parent / "evidence" / f"eval_real_asset_{platform}.json"
     out.write_text(json.dumps(rec, indent=1) + "\n")
     assert np.isfinite(m["ATE"].rmse)
     # Regression pin derived from the committed eval record of the SHIPPED
