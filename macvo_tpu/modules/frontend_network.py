@@ -18,7 +18,9 @@ retraining — SURVEY.md §2.9).
 
 from __future__ import annotations
 
+import json
 from functools import partial
+from pathlib import Path
 from types import SimpleNamespace
 
 import jax
@@ -57,6 +59,8 @@ class _FlowFormerRunner:
         )
         self.model = FlowFormerCov(self.cfg)
         self.params = self._load_weights(str(config.weight))
+        self.calib = self._load_calib(getattr(config, "cov_calib", "auto"),
+                                      str(config.weight))
         self._jitted: dict[tuple, object] = {}
 
     def _load_weights(self, weight: str):
@@ -69,13 +73,42 @@ class _FlowFormerRunner:
         )
         return load_params(weight, template)
 
+    def _load_calib(self, calib, weight: str):
+        """Optional post-hoc covariance recalibration: per-log-sigma-band
+        variance temperatures fitted on a HOLDOUT world by
+        scripts/fit_cov_temperature.py (VERDICT r4 next-round #4 — the raw
+        NLL-trained head is well calibrated at the median but overconfident
+        in the tails). ``"auto"`` loads ``<weight>.calib.json`` when present;
+        a path loads that file; ``"none"``/None disables."""
+        if calib in (None, "none", ""):
+            return None
+        path = Path(weight).with_suffix(".calib.json") if calib == "auto" else Path(calib)
+        if not path.exists():
+            if calib != "auto":
+                raise FileNotFoundError(f"cov_calib file not found: {path}")
+            return None
+        rec = json.loads(path.read_text())
+        return (jnp.asarray(rec["log10_sigma_edges"], jnp.float32),
+                jnp.asarray(rec["tau2"], jnp.float32))
+
+    def _recalibrate(self, cov: jnp.ndarray) -> jnp.ndarray:
+        """Scale the predicted variance by the fitted band temperature
+        (both channels and, downstream, sigma_uv scale together — the
+        correlation structure is preserved)."""
+        if self.calib is None:
+            return cov
+        edges, tau2 = self.calib
+        sigma2 = 0.5 * (cov[..., 0] + cov[..., 1])
+        idx = jnp.searchsorted(edges, 0.5 * jnp.log10(jnp.maximum(sigma2, 1e-24)))
+        return cov * tau2[idx][..., None].astype(cov.dtype)
+
     def forward_traced(self, img_a: jnp.ndarray, img_b: jnp.ndarray):
         """Traceable padded forward (usable inside a larger jit)."""
         padder = InputPadder(img_a.shape)
         pa, pb = padder.pad(img_a, img_b)
         out = self.model.apply({"params": self.params}, pa, pb)
         flow = padder.unpad(out["flow_final"])
-        cov = padder.unpad(normalize_cov(out["cov_final"]))
+        cov = self._recalibrate(padder.unpad(normalize_cov(out["cov_final"])))
         return flow, cov
 
     # -- feature-level entry points (device-resident feature cache) --------
@@ -85,7 +118,7 @@ class _FlowFormerRunner:
     def _decode_unpad(self, padder, feat_a, feat_b, ctx):
         out = self._apply("decode", feat_a, feat_b, ctx)
         flow = padder.unpad(out["flow_final"])
-        cov = padder.unpad(normalize_cov(out["cov_final"]))
+        cov = self._recalibrate(padder.unpad(normalize_cov(out["cov_final"])))
         return flow, cov
 
     def depth_traced(self, img_l: jnp.ndarray, img_r: jnp.ndarray):

@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--out", type=str, default="results/cov_calibration")
     ap.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"])
     ap.add_argument("--max_pairs", type=int, default=6)
+    ap.add_argument("--calib", type=str, default="none",
+                    help="'none' (raw head), 'auto' (<weight>.calib.json if "
+                         "present), or an explicit temperature-file path")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +67,8 @@ def main() -> None:
 
     fe = IFrontend.instantiate("FlowFormerCovFrontend", SimpleNamespace(
         weight=args.weight, enc_dtype="fp32", dec_dtype="fp32",
-        decoder_depth=12, enforce_positive_disparity=False))
+        decoder_depth=12, enforce_positive_disparity=False,
+        cov_calib=args.calib))
 
     grid = GridRecorder((-2.0, 2.0), (-2.0, 2.0), bins=(80, 80))
     nlls, epes, cov = [], [], {k: [] for k in CHI2_2}
@@ -94,7 +98,7 @@ def main() -> None:
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     rec = {
-        "weight": args.weight, "data": args.data, "pairs": n,
+        "weight": args.weight, "data": args.data, "pairs": n, "calib": args.calib,
         "epe": float(np.mean(epes)), "nll": float(np.mean(nlls)),
         "chi2_coverage": {k: float(np.mean(v)) for k, v in cov.items()},
         "nominal": {"p50": 0.50, "p90": 0.90, "p95": 0.95},

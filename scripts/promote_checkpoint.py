@@ -135,6 +135,11 @@ def main() -> None:
     cand_csv = cand.with_name(cand.stem + "_metrics.csv")
     if cand_csv.exists():
         shutil.copyfile(cand_csv, SHIPPED.with_name(SHIPPED.stem + "_metrics.csv"))
+    # Ship the candidate's covariance-temperature file too (the frontend
+    # auto-loads <weight>.calib.json; see scripts/fit_cov_temperature.py).
+    cand_calib = cand.with_suffix(".calib.json")
+    if cand_calib.exists():
+        shutil.copyfile(cand_calib, SHIPPED.with_suffix(".calib.json"))
     print(f"[promote] {cand} -> {SHIPPED}; eval record + E2E JSON rewritten")
 
 
