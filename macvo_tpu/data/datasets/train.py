@@ -142,10 +142,16 @@ class TrainPairDataset:
         # critical path, and this cuts the bytes ~3x. `upcast_batch` (consumed
         # inside the jitted train step) restores f32 on device, where the
         # cast fuses with the first op for free.
+        # Clip to an f16-safe magnitude before the compressed cast: a
+        # near-zero gt_depth makes the synthetic disparity larger than
+        # f16 max (65504) and the cast overflowed to inf with a
+        # RuntimeWarning. 1e4 is 25x the loss's max_flow cutoff (400), so
+        # every clipped pixel was already excluded from the loss — this
+        # only keeps the shipped batch finite.
         batch = {
             "img1": _quantize_img(np.concatenate(img1, 0)),
             "img2": _quantize_img(np.concatenate(img2, 0)),
-            "gt_flow": np.concatenate(gt_flow, 0).astype(np.float16),
+            "gt_flow": np.clip(np.concatenate(gt_flow, 0), -1e4, 1e4).astype(np.float16),
         }
         if mask:
             batch["flow_mask"] = np.concatenate(mask, 0)
