@@ -23,9 +23,15 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--decoder_depth", type=int, default=12)
     ap.add_argument("--dtype", type=str, default="bf16")
+    ap.add_argument("--device", type=str, default=None, choices=["cpu", "tpu"],
+                    help="cpu analyzes the algorithmic FLOPs without the chip")
     args = ap.parse_args()
 
     import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from macvo_tpu.models.flowformer import FlowFormerConfig, FlowFormerCov
