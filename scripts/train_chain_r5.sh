@@ -26,13 +26,19 @@ die() { hb "FATAL: $*"; exit 1; }
 # race just retries; "nothing to commit" is fine.
 commit_evidence() {
     local msg=$1; shift
-    git add "$LOG" "$@" 2>>"$LOG"
+    stage() {  # add each path individually: one missing path must not abort
+        local p  # the whole staging (git add with any bad pathspec stages
+        for p in "$LOG" "$@"; do  # NOTHING — bit the P0 harvest commit)
+            [ -e "$p" ] && git add "$p" 2>>"$LOG"
+        done
+    }
+    stage "$@"
     for _ in 1 2 3; do
         if git commit -q -m "$msg" 2>>"$LOG"; then
             hb "committed: $msg"
             return 0
         fi
-        git add "$LOG" "$@" 2>>"$LOG"
+        stage "$@"
         sleep 2
     done
     hb "commit skipped (nothing to commit or lock contention): $msg"
