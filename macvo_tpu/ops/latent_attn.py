@@ -80,13 +80,22 @@ def latent_cross_attention(tokens: jnp.ndarray, wk: jnp.ndarray, bk: jnp.ndarray
     n, t, d_in = tokens.shape
     nq, d = q.shape
     bp = min(block_pixels, n)
+    # Scoped-VMEM budgets are DTYPE-AWARE: the measured-safe caps below were
+    # taken with bf16 tokens/outputs; f32 doubles both the token block and the
+    # chunk result buffer XLA scopes into VMEM (measured: a 2048-pixel f32
+    # chunk scoped 24.85 M > the 16 M limit under precision=HIGHEST fusion,
+    # while the bf16 equivalent is ~12.4 M). Halve both caps for >=4-byte
+    # dtypes instead of leaving the compile to die on the limit.
+    wide = jnp.dtype(tokens.dtype).itemsize >= 4
+    row_budget = (64 if wide else 128) * 80
+    if wide:
+        chunk_pixels = min(chunk_pixels, 1024)
     # The kernel materializes k/v as (bp*t, d) fp32 in VMEM; cap the row count
-    # at the measured-safe 128x80 working set (~13 M with the token block) so
-    # larger patch-token counts (t=100 at 640x640) shrink the pixel block
-    # instead of blowing the 16 M scoped-vmem limit.
-    while bp > 8 and bp * t > 128 * 80:
+    # at the measured-safe working set so larger patch-token counts (t=100 at
+    # 640x640) shrink the pixel block instead of blowing the 16 M limit.
+    while bp > 8 and bp * t > row_budget:
         bp //= 2
-    if bp * t > 128 * 80:
+    if bp * t > row_budget:
         # Even the minimum pixel block exceeds the measured-safe VMEM working
         # set (t > 1280 tokens) — fall back to the XLA twin instead of an
         # opaque on-chip OOM (ADVICE r3).

@@ -111,9 +111,12 @@ def main() -> None:
     if "A" in args.stages:
         seq = real_sequence(gt_frontend=True)
         legs = {}
-        legs["tpu_default"] = flow_leg(None, cpu=False, seq=seq)
-        legs["tpu_highest"] = flow_leg("highest", cpu=False, seq=seq)
-        legs["cpu"] = flow_leg(None, cpu=True, seq=seq)
+        for name, prec, cpu in (("tpu_default", None, False),
+                                ("tpu_highest", "highest", False),
+                                ("cpu", None, True)):
+            legs[name] = flow_leg(prec, cpu=cpu, seq=seq)
+            print(name, json.dumps({k: legs[name][k] for k in
+                                    ("epe", "px1", "px3", "secs")}), flush=True)
         # pairwise flow deltas on the first pairs
         def delta(a, b):
             return [float(np.abs(x - y).mean()) for x, y in zip(a["_flows"], b["_flows"])]
