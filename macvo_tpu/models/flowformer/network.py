@@ -58,6 +58,19 @@ def _dtype(name: str):
     return {"fp32": jnp.float32, "bf16": jnp.bfloat16, "fp16": jnp.bfloat16}[name]
 
 
+def _tracing_on_tpu() -> bool:
+    """True when the computation being traced will run on a TPU.
+
+    ``jax.default_device(...)`` overrides the backend for everything traced
+    under it (a CPU A/B leg inside a TPU process — scripts/
+    diagnose_platform_gap.py); the plain backend default applies otherwise.
+    """
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 class FlowFormerCov(nn.Module):
     """images (B,H,W,3) in [0,1] -> dict with flow/cov prediction stacks.
 
@@ -86,7 +99,7 @@ class FlowFormerCov(nn.Module):
             dtype=enc_dt,
             # Fused Pallas input stage: inference-path only (training needs
             # gradients through the plain XLA formulation).
-            fused_input=cfg.inference_only and jax.default_backend() == "tpu",
+            fused_input=cfg.inference_only and _tracing_on_tpu(),
         )
         self.memory_decoder = MemoryCovDecoder(
             decoder_depth=cfg.decoder_depth,
