@@ -137,9 +137,16 @@ def main() -> None:
         shutil.copyfile(cand_csv, SHIPPED.with_name(SHIPPED.stem + "_metrics.csv"))
     # Ship the candidate's covariance-temperature file too (the frontend
     # auto-loads <weight>.calib.json; see scripts/fit_cov_temperature.py).
+    # A candidate WITHOUT one must remove any stale shipped calib — the
+    # temperatures are fitted per-weight and must never apply to another
+    # checkpoint's head.
     cand_calib = cand.with_suffix(".calib.json")
-    if cand_calib.exists():
-        shutil.copyfile(cand_calib, SHIPPED.with_suffix(".calib.json"))
+    shipped_calib = SHIPPED.with_suffix(".calib.json")
+    if cand_calib.exists() and cand_calib != shipped_calib:
+        shutil.copyfile(cand_calib, shipped_calib)
+    elif not cand_calib.exists() and shipped_calib.exists():
+        shipped_calib.unlink()
+        print(f"[promote] removed stale {shipped_calib} (candidate ships no calib)")
     print(f"[promote] {cand} -> {SHIPPED}; eval record + E2E JSON rewritten")
 
 
