@@ -87,8 +87,15 @@ def main() -> None:
     rows.sort(key=lambda r: r[1])
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    lines = ["| variant | ATE rmse (m) | RTE rmse (m/f) | ROE rmse (deg/f) |",
-             "|---|---|---|---|"]
+    calib = Path("model/MACVO_FrontendCov.calib.json")
+    lines = [
+        f"<!-- run: {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}"
+        f" data={args.data} platform={jax.default_backend()}"
+        f" weight=model/MACVO_FrontendCov.npz"
+        f" cov_calib={'shipped' if calib.exists() else 'none'}"
+        f" frames={args.frames or 'all'} -->",
+        "| variant | ATE rmse (m) | RTE rmse (m/f) | ROE rmse (deg/f) |",
+        "|---|---|---|---|"]
     for name, ate, rte, roe in rows:
         lines.append(f"| {name} | {ate:.5f} | {rte:.5f} | {roe:.5f} |")
     table = "\n".join(lines)
