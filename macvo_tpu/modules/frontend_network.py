@@ -61,7 +61,29 @@ class _FlowFormerRunner:
         self.params = self._load_weights(str(config.weight))
         self.calib = self._load_calib(getattr(config, "cov_calib", "auto"),
                                       str(config.weight))
+        # fp32 means fp32: on TPU an f32-typed matmul runs reduced-precision
+        # MXU passes unless HIGHEST is requested, which was the entire 4.7x
+        # TPU-vs-CPU E2E ATE gap (evidence/tpu_cpu_gap_r5.json: flow matches
+        # CPU to ~2e-5 px at HIGHEST vs 0.01-0.04 px at default). bf16/fp16
+        # configs keep the fast default — that's what those dtypes mean.
+        # Override with config matmul_precision: default|high|highest.
+        both_fp32 = (self.cfg.encoder_dtype == "fp32"
+                     and self.cfg.decoder_dtype == "fp32")
+        self.matmul_precision = getattr(
+            config, "matmul_precision", "highest" if both_fp32 else "default")
         self._jitted: dict[tuple, object] = {}
+
+    def _precision_wrap(self, fn):
+        """Trace ``fn`` under the configured matmul precision (the context
+        must be active at TRACE time; jit callers wrap BEFORE jitting)."""
+        if self.matmul_precision == "default":
+            return fn
+
+        def wrapped(*args):
+            with jax.default_matmul_precision(self.matmul_precision):
+                return fn(*args)
+
+        return wrapped
 
     def _load_weights(self, weight: str):
         probe = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -167,7 +189,7 @@ class _FlowFormerRunner:
         """One-dispatch inference: (B,H,W,3) x2 -> (flow, cov) (B,H,W,2)."""
         shape = tuple(img_a.shape)
         if shape not in self._jitted:
-            self._jitted[shape] = jax.jit(self.forward_traced)
+            self._jitted[shape] = jax.jit(self._precision_wrap(self.forward_traced))
         return self._jitted[shape](img_a, img_b)
 
 
@@ -256,7 +278,7 @@ class FlowFormerCovFrontend(IFrontend):
                     _flow_to_match(flow[2:3], cov[2:3]),
                 )
 
-        self._jit_cache[key] = jax.jit(fn)
+        self._jit_cache[key] = jax.jit(self.runner._precision_wrap(fn))
         return self._jit_cache[key]
 
     def estimate_depth(self, frame: StereoData) -> DepthOutput:
