@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..geometry import se3
+from ..utils.precision import matmul_highest
 
 
 class TwoFrameData(NamedTuple):
@@ -232,6 +233,7 @@ class _LMState(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("graph_type", "max_steps", "max_rejects", "axis_name"))
+@matmul_highest
 def solve_two_frame(
     data: TwoFrameData,
     graph_type: str = "icp",

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import timer
+from ..utils.precision import matmul_highest
 from ..worldmap import VisualMap
 from .interface import IOptimizer
 from .solver import pack_two_frame, solve_two_frame_packed
@@ -44,6 +45,7 @@ def _anchored_pose(anchor: jnp.ndarray, local_pose: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("graph_type",))
+@matmul_highest
 def solve_sync_packed(sync: jnp.ndarray, anchor: jnp.ndarray, cam: jnp.ndarray,
                       baseline: jnp.ndarray, graph_type: str) -> jnp.ndarray:
     """Device-chained two-frame solve: consume the odometry pipeline's packed

@@ -37,6 +37,7 @@ from ..modules.motion import IMotionModel
 from ..modules.outlier import IObservationFilter
 from ..utils import timer
 from ..utils.logging import Logger
+from ..utils.precision import matmul_highest
 from ..utils.registry import ConfigTestable
 from ..worldmap import VisualMap
 from .interface import IOdometry
@@ -304,7 +305,9 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
             aux = aux.at[0, 7:14].set(prev_pose.astype(jnp.float32))
             return jnp.concatenate([packed, aux], axis=0)
 
-        return jax.jit(core)
+        # Geometry math always runs exact-f32 matmuls (utils/precision.py) —
+        # a few thousand 3x3 contractions per frame, microseconds of MXU time.
+        return jax.jit(matmul_highest(core))
 
     @staticmethod
     def _unpack_sync(packed: np.ndarray):
@@ -519,7 +522,7 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
                 map_color.astype(jnp.float32),
             ], axis=-1)
 
-        return jax.jit(core)
+        return jax.jit(matmul_highest(core))
 
     def _calib_key(self, stereo: StereoData) -> tuple:
         """Shape + intrinsics + baseline: everything the traced pipelines bake
