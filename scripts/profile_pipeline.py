@@ -59,15 +59,21 @@ def scan_time(stage_fn, carry0, k_lo=1, k_hi=5, reps=3, name=""):
 
 
 def main():
+    import argparse
+
     import bench
     from macvo_tpu.modules.frontend import DepthOutput, MatchOutput
 
-    H, W = 480, 640
-    odom = bench.build_odometry(W, H)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    args = ap.parse_args()
+    H, W = args.height, args.width
+    odom, _ = bench.build_odometry(W, H)
 
     from macvo_tpu.data.datasets.synthetic import SyntheticStereo
     seq = SyntheticStereo({"n_frames": 2, "width": W, "height": H,
-                           "fx": 320.0, "fy": 320.0, "cx": 320.0, "cy": 240.0})
+                           "fx": 320.0, "fy": 320.0, "cx": W / 2.0, "cy": H / 2.0})
     f0, f1 = seq[0], seq[1]
 
     key = jax.random.PRNGKey(0)
