@@ -98,8 +98,15 @@ class FlowFormerCov(nn.Module):
             vert_c_dim=cfg.vert_c_dim,
             dtype=enc_dt,
             # Fused Pallas input stage: inference-path only (training needs
-            # gradients through the plain XLA formulation).
-            fused_input=cfg.inference_only and _tracing_on_tpu(),
+            # gradients through the plain XLA formulation), bf16 only — it is
+            # a throughput-path bandwidth optimization, and at f32 XLA's
+            # buffer assignment sporadically scopes the chunk operand/result
+            # buffers into the 16 MB VMEM budget and fails the compile
+            # (observed at 24.9-29.6 M under precision=HIGHEST fusions). The
+            # fp32 accuracy path takes the exact XLA twin instead — same
+            # folded-weight math, parity pinned by tests/test_tpu.py.
+            fused_input=(cfg.inference_only and _tracing_on_tpu()
+                         and enc_dt == jnp.bfloat16),
         )
         self.memory_decoder = MemoryCovDecoder(
             decoder_depth=cfg.decoder_depth,
