@@ -110,6 +110,14 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         # _max_sync_lag) — the frame period then tracks device compute, not
         # the device->host link latency (~90 ms RTT on a remote tunnel).
         self._sync_queue: deque[dict] = deque()
+        # Dense-mapping D2H fetches ride their OWN queue with a deep lag:
+        # mapping points only populate the host visual map (never the pose
+        # problem), but fetching the (M,16) array — 128 KB at M=2000 —
+        # inside the per-frame sync put a full tunnel round trip on the
+        # critical path (measured 25 ms/frame of 'Sync consume' blocking at
+        # 640x640). Consumed when complete, force-drained only at terminate.
+        self._map_queue: deque[dict] = deque()
+        self._max_map_lag = 16
         # Device chaining needs the frontend's covariances (the in-trace LM
         # whitens with them); GT/cov-less frontends keep the host path.
         self._device_chain = bool(
@@ -349,11 +357,17 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
             if not (drain or over or self._sync_queue[0]["fetch"].done()):
                 break
             self._register_sync(self._sync_queue.popleft())
+        while self._map_queue:
+            over = len(self._map_queue) > self._max_map_lag - 1
+            if not (drain or over or self._map_queue[0]["fetch"].done()):
+                break
+            ctx = self._map_queue.popleft()
+            self._consume_mapping(ctx["fetch"].result(), ctx["frame_idx"])
 
     def _register_sync(self, ctx: dict) -> None:
         """Register one fetched sync into the host factor graph."""
         with timer.cpu_time("Sync consume"):
-            packed, mapping_np = ctx["fetch"].result()
+            packed, _ = ctx["fetch"].result()
         obs_np, keep_np, pos0_Tw, cov0_Tw, kp0_color, est_pose, prev_pose_host = \
             self._unpack_sync(packed)
 
@@ -382,9 +396,6 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         self.graph.frame2match.add(np.array([frame_idx]), np.array([num_match_orig]), np.array([n_obs]))
         self.graph.match2frame1.set(match_idx, np.full((n_obs,), prev_idx, dtype=np.int64))
         self.graph.match2frame2.set(match_idx, np.full((n_obs,), frame_idx, dtype=np.int64))
-
-        if mapping_np is not None:
-            self._consume_mapping(mapping_np, frame_idx)
 
         # Launch (async) optimization or mark lost track (reference: MACVO.py:300-311).
         if n_obs < MIN_NUM_POINT:
@@ -455,11 +466,12 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         if self.mapping:
             mapping_dev = self._dispatch_mapping(frame0, depth0, depth1, match01, prev_pose_dev)
 
-        # 4. Hand both packed arrays to the fetch thread: it blocks on the
-        #    link while this thread dispatches the next frame (ONE joined
-        #    round trip per frame, one frame late).
-        def fetch(p=packed_dev, m=mapping_dev):
-            return np.asarray(p), (None if m is None else np.asarray(m))
+        # 4. Hand the packed array to the fetch thread: it blocks on the
+        #    link while this thread dispatches the next frame (one round
+        #    trip per frame, one frame late). The dense-mapping array rides
+        #    the lazy _map_queue instead (it never feeds the pose problem).
+        def fetch(p=packed_dev):
+            return np.asarray(p), None
 
         # Push the new keyframe row now (indices must exist); its pose is
         # backfilled from the packed sync at consumption.
@@ -490,6 +502,12 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
             "backfill_idx": backfill_idx,
             "seq_idx": frame1.frame_idx,
         })
+        if mapping_dev is not None:
+            self._map_queue.append({
+                "fetch": self._fetch_pool.submit(
+                    lambda m=mapping_dev: np.asarray(m)),
+                "frame_idx": frame_idx,
+            })
         self.prev_keyframe = (frame1, frame_idx, depth1)
 
     def _mapping_core(self, meta0: StereoData):
