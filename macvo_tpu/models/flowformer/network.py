@@ -133,9 +133,14 @@ class FlowFormerCov(nn.Module):
         cost_memory, cost_maps = self.memory_encoder(
             feat1, feat2, context.astype(enc_dt)
         )
-        # Decoder consumes fp32 cost maps / context (flownet.py:25-28).
+        # Decoder consumes fp32 context (flownet.py:25-28). Cost maps keep
+        # their NATIVE dtype: the decoder samples them with f32 accumulation
+        # (decoder.py encode_flow_token), and in bf16 mode an fp32 copy would
+        # double the dominant per-iteration HBM read of the whole recurrent
+        # loop (327 MB at 640x640) while adding no information — the values
+        # were computed in bf16 upstream.
         return self.memory_decoder(
-            cost_memory, context.astype(jnp.float32), cost_maps.astype(jnp.float32)
+            cost_memory, context.astype(jnp.float32), cost_maps
         )
 
     def __call__(self, image1: jnp.ndarray, image2: jnp.ndarray):
