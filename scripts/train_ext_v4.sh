@@ -16,6 +16,14 @@
 # Supervision pattern per train_chain_r4b.sh: bounded invocations
 # (--max_session_steps) + full-state autosave resume + artifact (.done)
 # markers, so a dead session costs <10 min (VERDICT r3 next-round #6).
+#
+# SUPERSEDED (kept for provenance): this chain reuses train_ext_v3.sh's
+# FLOW-EXT marker/checkpoint names (ADVICE r4 medium — a stale marker could
+# silently skip a phase with a different recipe) and its FLOW-HIRES shape
+# (448x640 b2) hung the remote compile twice. Later chains
+# (train_chain_r5.sh / train_chain_r5b.sh) version markers per chain, probe
+# train shapes first (scripts/probe_train_shape.sh), and commit evidence at
+# every phase boundary.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p evidence model
