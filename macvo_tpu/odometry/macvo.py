@@ -118,6 +118,10 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         # 640x640). Consumed when complete, force-drained only at terminate.
         self._map_queue: deque[dict] = deque()
         self._max_map_lag = 16
+        # Mapping fetches get their own worker: sharing the sync-fetch pool
+        # let a burst of queued 128 KB mapping transfers delay the packed
+        # sync the next frame blocks on.
+        self._map_pool = futures.ThreadPoolExecutor(max_workers=1)
         # Device chaining needs the frontend's covariances (the in-trace LM
         # whitens with them); GT/cov-less frontends keep the host path.
         self._device_chain = bool(
@@ -504,7 +508,7 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         })
         if mapping_dev is not None:
             self._map_queue.append({
-                "fetch": self._fetch_pool.submit(
+                "fetch": self._map_pool.submit(
                     lambda m=mapping_dev: np.asarray(m)),
                 "frame_idx": frame_idx,
             })
@@ -587,6 +591,7 @@ class MACVO(IOdometry[StereoFrame], ConfigTestable):
         self.Optimizer.terminate()
         self.MapRefiner.elaborate_map(self.graph.frames)
         self._fetch_pool.shutdown(wait=False)
+        self._map_pool.shutdown(wait=False)
 
     def register_on_optimize_finish(self, func: T_SYSHOOK) -> None:
         self.on_optimize_writeback.append(func)
