@@ -103,7 +103,10 @@ def main() -> None:
     platform = jax.devices()[0].platform
     hardware = f"{jax.devices()[0].device_kind} ({platform})"
     measured_utc = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    shutil.copyfile(cand, SHIPPED)
+    # Self-promotion (--candidate <shipped> --force) re-measures the shipped
+    # checkpoint under the current code and refreshes the records in place.
+    if not (SHIPPED.exists() and cand.resolve() == SHIPPED.resolve()):
+        shutil.copyfile(cand, SHIPPED)
     RECORD.write_text(json.dumps({
         "weight": SHIPPED.name,
         "promoted_from": cand.name,
