@@ -136,8 +136,9 @@ def main() -> None:
     # Keep the metrics CSV provenance: the candidate's training curve becomes
     # the shipped checkpoint's curve.
     cand_csv = cand.with_name(cand.stem + "_metrics.csv")
-    if cand_csv.exists():
-        shutil.copyfile(cand_csv, SHIPPED.with_name(SHIPPED.stem + "_metrics.csv"))
+    shipped_csv = SHIPPED.with_name(SHIPPED.stem + "_metrics.csv")
+    if cand_csv.exists() and cand_csv.resolve() != shipped_csv.resolve():
+        shutil.copyfile(cand_csv, shipped_csv)
     # Ship the candidate's covariance-temperature file too (the frontend
     # auto-loads <weight>.calib.json; see scripts/fit_cov_temperature.py).
     # A candidate WITHOUT one must remove any stale shipped calib — the
