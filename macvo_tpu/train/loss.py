@@ -37,15 +37,34 @@ def cov_loss(
     cov_preds: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     eps: float = 1e-7,
+    tail_weight: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gamma-weighted Gaussian NLL: err^2/sigma^2 + log sigma^2, with the
-    squared error DETACHED so only the cov head learns (loss.py:17-34)."""
+    squared error DETACHED so only the cov head learns (loss.py:17-34).
+
+    ``tail_weight`` > 0 up-weights the pixels above the batch's 90th EPE
+    percentile by (1 + tail_weight), renormalized to mean weight 1 — the
+    sigma-TAIL calibration lever (chi2 p90 coverage chronically under
+    nominal because the plain NLL optimum tracks the bulk; see
+    evidence/cov_calibration_real_v4_raw.json)."""
     w = _iteration_weights(preds.shape[0], gamma, preds.dtype)
     exp_cov = cov_preds + eps
     error = jax.lax.stop_gradient(jnp.square(preds - gt[None]))
     nll = error / exp_cov + jnp.log(exp_cov)
     if mask is not None:
         nll = jnp.where(mask[None], nll, 0.0)
+    if tail_weight > 0.0:
+        epe2 = jnp.sum(error[-1], axis=-1, keepdims=True)     # (B,H,W,1)
+        masked_epe2 = (jnp.where(mask, epe2, jnp.nan)
+                       if mask is not None else epe2)
+        thr = jnp.nanquantile(masked_epe2, 0.9)
+        w_pix = jnp.where(epe2 > thr, 1.0 + tail_weight, 1.0)
+        if mask is not None:
+            denom = jnp.maximum(jnp.mean(jnp.where(mask, w_pix, 0.0))
+                                / jnp.maximum(jnp.mean(mask.astype(w_pix.dtype)), eps), eps)
+        else:
+            denom = jnp.maximum(jnp.mean(w_pix), eps)
+        nll = nll * (w_pix / denom)[None]
     loss = jnp.mean(jnp.sum(w[:, None, None, None, None] * nll, axis=0))
     return loss, error[-1]
 
@@ -63,6 +82,7 @@ def sequence_loss(
     gamma: float = 0.85,
     max_flow: float = 400.0,
     training_mode: str = "flow",
+    tail_weight: float = 0.0,
 ) -> tuple[jnp.ndarray, dict]:
     """Loss dispatch by training mode (loss.py:59-93): 'flow' trains the flow
     branch; 'cov'/'finalcov' train the covariance head with NLL."""
@@ -76,7 +96,8 @@ def sequence_loss(
         loss = flow_loss(gamma, preds, gt, mask)
     elif training_mode == "cov":
         assert cov_preds is not None
-        loss, error = cov_loss(gamma, preds, gt, cov_preds, mask)
+        loss, error = cov_loss(gamma, preds, gt, cov_preds, mask,
+                               tail_weight=tail_weight)
         metrics["error"] = jnp.mean(error)
         metrics["cov"] = jnp.mean(cov_preds[-1])
     elif training_mode == "finalcov":

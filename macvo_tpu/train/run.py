@@ -95,6 +95,8 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--steps", type=int, default=None, help="override num_steps")
+    parser.add_argument("--tail_weight", type=float, default=None,
+                        help="cov mode: up-weight top-decile-EPE pixels by (1+w)")
     parser.add_argument("--out", type=str, default="model/FlowFormerCov.npz")
     parser.add_argument("--restore", type=str, default=None)
     parser.add_argument("--mode", type=str, default=None,
@@ -132,6 +134,9 @@ def main() -> None:
         gamma=float(cfg.Train.gamma),
         max_flow=float(cfg.Train.max_flow),
         training_mode=str(args.mode or cfg.Train.training_mode),
+        tail_weight=float(args.tail_weight
+                          if args.tail_weight is not None
+                          else getattr(cfg.Train, "tail_weight", 0.0)),
     )
     model = FlowFormerCov(FlowFormerConfig(
         decoder_depth=int(cfg.Model.decoder_depth),

@@ -39,6 +39,7 @@ class TrainConfig:
     gamma: float = 0.85
     max_flow: float = 400.0
     training_mode: str = "cov"     # "flow" | "cov" | "finalcov"
+    tail_weight: float = 0.0       # >0: up-weight top-decile-EPE pixels in the cov NLL
 
 
 def _is_cov_param(path: tuple) -> bool:
@@ -123,6 +124,7 @@ def make_train_step(model: FlowFormerCov, opt: optax.GradientTransformation, cfg
         loss, metrics = sequence_loss(
             out["flow_predictions"], cov_var, batch["gt_flow"], batch.get("flow_mask"),
             gamma=cfg.gamma, max_flow=cfg.max_flow, training_mode=cfg.training_mode,
+            tail_weight=cfg.tail_weight,
         )
         return loss, metrics
 

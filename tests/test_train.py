@@ -227,3 +227,31 @@ def test_shipped_eval_record_pins():
     assert np.isfinite(rec["flow_epe_px"]) and rec["flow_epe_px"] > 0
     assert np.isfinite(rec["ate_m"]) and rec["ate_m"] > 0
     assert (Path(__file__).parent.parent / "model" / rec["weight"]).exists()
+
+
+def test_cov_loss_tail_weighting():
+    """tail_weight up-weights top-decile-EPE pixels with mean-1 renorm:
+    uniform errors => loss unchanged; concentrated errors => the high-error
+    pixel's NLL contribution grows."""
+    import jax.numpy as jnp
+
+    from macvo_tpu.train.loss import cov_loss
+
+    rng = np.random.default_rng(3)
+    d, b, h, w = 2, 1, 8, 8
+    preds = jnp.asarray(rng.normal(size=(d, b, h, w, 2)), jnp.float32)
+    gt = preds[-1] + 0.1  # uniform error field
+    cov = jnp.full((d, b, h, w, 2), 0.5, jnp.float32)
+    mask = jnp.ones((b, h, w, 1), bool)
+
+    base, _ = cov_loss(0.85, preds, gt, cov, mask)
+    uniform, _ = cov_loss(0.85, preds, gt, cov, mask, tail_weight=3.0)
+    # every pixel is "the tail" boundary case aside, renorm keeps scale
+    np.testing.assert_allclose(float(uniform), float(base), rtol=0.35)
+
+    # concentrate a huge error on one pixel: with tail weighting its
+    # relative contribution must rise vs the unweighted loss
+    gt_spike = gt.at[0, 2, 2].add(50.0)
+    plain, _ = cov_loss(0.85, preds, gt_spike, cov, mask)
+    tailw, _ = cov_loss(0.85, preds, gt_spike, cov, mask, tail_weight=3.0)
+    assert float(tailw) > float(plain), (float(tailw), float(plain))
